@@ -1,0 +1,58 @@
+"""Rasterizer camera setup.
+
+Reference: src/model/decoder/cuda_splatting.py:16-43 (projection matrix) and
+:63-86 (scale-invariant renorm + matrix assembly). We keep column-vector
+convention throughout (p' = M @ p); the reference's transposes exist only
+because the CUDA rasterizer consumes row-vector matrices.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+
+# The CUDA rasterizer composites on pixels whose 16x16 tile intersects the
+# gaussian's screen-space bounding rect; tile size is part of render semantics.
+TILE = 16
+# Low-pass dilation added to the projected 2D covariance diagonal.
+COV2D_DILATION = 0.3
+# View-space near-culling threshold.
+NEAR_CULL_Z = 0.2
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+TRANSMITTANCE_EPS = 1e-4
+
+
+def get_projection_matrix(
+    near: Array, far: Array, fov_x: Array, fov_y: Array
+) -> Array:
+    """OpenCV-style perspective matrix: X/Y -> (-1,1), Z -> (0,1), +Z forward."""
+    tan_x = jnp.tan(0.5 * fov_x)
+    tan_y = jnp.tan(0.5 * fov_y)
+    top = tan_y * near
+    right = tan_x * near
+
+    zeros = jnp.zeros_like(near)
+    ones = jnp.ones_like(near)
+    row0 = jnp.stack([near / right, zeros, zeros, zeros], axis=-1)
+    row1 = jnp.stack([zeros, near / top, zeros, zeros], axis=-1)
+    row2 = jnp.stack(
+        [zeros, zeros, far / (far - near), -(far * near) / (far - near)], axis=-1
+    )
+    row3 = jnp.stack([zeros, zeros, ones, zeros], axis=-1)
+    return jnp.stack([row0, row1, row2, row3], axis=-2)
+
+
+def scale_invariant_normalization(
+    extrinsics: Array,
+    near: Array,
+    far: Array,
+    means: Array,
+    covariances: Array,
+):
+    """Rescale the scene by 1/near so near becomes 1 (cuda_splatting.py:63-69)."""
+    scale = 1.0 / near
+    extrinsics = extrinsics.at[..., :3, 3].multiply(scale[..., None])
+    covariances = covariances * (scale[..., None, None, None] ** 2)
+    means = means * scale[..., None, None]
+    return extrinsics, near * scale, far * scale, means, covariances
