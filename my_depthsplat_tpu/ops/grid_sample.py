@@ -1,0 +1,95 @@
+"""Bilinear grid sampling + plane-sweep warping in pure jnp.
+
+Replaces the reference's cuDNN F.grid_sample path (matching.py:24-90) — the
+single hottest data-movement op in the depth branch. The cuDNN disable-flag
+workaround (mv_unimatch.py:34,204) disappears entirely.
+
+Semantics: torch F.grid_sample(mode='bilinear', padding_mode='zeros',
+align_corners=True). Layout is channels-last.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+
+
+def grid_sample_bilinear(feature: Array, grid: Array) -> Array:
+    """Sample (B, H, W, C) at normalized coords grid (B, Ho, Wo, 2) in [-1, 1].
+
+    align_corners=True: -1 maps to pixel center 0, +1 to center (n-1).
+    padding_mode='zeros': out-of-bounds taps contribute zero.
+    Returns (B, Ho, Wo, C).
+    """
+    b, h, w, c = feature.shape
+    gx = (grid[..., 0] + 1.0) * 0.5 * (w - 1)
+    gy = (grid[..., 1] + 1.0) * 0.5 * (h - 1)
+
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    wx1 = gx - x0
+    wy1 = gy - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def tap(xi: Array, yi: Array, wgt: Array) -> Array:
+        inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        flat = feature.reshape(b, h * w, c)
+        idx = yi_c * w + xi_c  # (B, Ho, Wo)
+        vals = jnp.take_along_axis(
+            flat, idx.reshape(b, -1, 1), axis=1
+        ).reshape(idx.shape + (c,))
+        return vals * (wgt * inb)[..., None]
+
+    out = (
+        tap(x0, y0, wx0 * wy0)
+        + tap(x1, y0, wx1 * wy0)
+        + tap(x0, y1, wx0 * wy1)
+        + tap(x1, y1, wx1 * wy1)
+    )
+    return out
+
+
+def warp_with_pose_depth_candidates(
+    feature: Array,  # (B, H, W, C) source-view features
+    intrinsics: Array,  # (B, 3, 3) PIXEL-unit intrinsics (like the reference here)
+    pose: Array,  # (B, 4, 4) relative pose (source_w2c @ ref_c2w)
+    depth: Array,  # (B, D, H, W) depth candidates per ref pixel
+    clamp_min_depth: float = 1e-3,
+) -> Array:
+    """Plane-sweep warp: back-project the ref pixel grid at D depths, transform
+    into the source view, reproject, and bilinearly sample source features.
+
+    Matches matching.py:24-90 (integer pixel grid, [-1,1] normalization with
+    align_corners=True). Returns (B, D, H, W, C).
+    """
+    b, d, h, w = depth.shape
+
+    xs = jnp.arange(w, dtype=feature.dtype)
+    ys = jnp.arange(h, dtype=feature.dtype)
+    gx, gy = jnp.meshgrid(xs, ys)  # (H, W)
+    ones = jnp.ones_like(gx)
+    grid = jnp.stack([gx, gy, ones], axis=0).reshape(3, h * w)  # (3, HW)
+
+    k_inv = jnp.linalg.inv(intrinsics)
+    points = jnp.einsum("bij,jn->bin", k_inv, grid)  # (B, 3, HW)
+    points = jnp.einsum("bij,bjn->bin", pose[:, :3, :3], points)  # rotate
+    points = points[:, :, None, :] * depth.reshape(b, 1, d, h * w)  # (B,3,D,HW)
+    points = points + pose[:, :3, 3][:, :, None, None]
+    points = jnp.einsum("bij,bjn->bin", intrinsics, points.reshape(b, 3, -1))
+    points = points.reshape(b, 3, d, h * w)
+    pixel = points[:, :2] / jnp.maximum(points[:, 2:3], clamp_min_depth)
+
+    x_grid = 2.0 * pixel[:, 0] / (w - 1) - 1.0  # (B, D, HW)
+    y_grid = 2.0 * pixel[:, 1] / (h - 1) - 1.0
+    grid_n = jnp.stack([x_grid, y_grid], axis=-1)  # (B, D, HW, 2)
+
+    sampled = grid_sample_bilinear(
+        feature, grid_n.reshape(b, d * h, w, 2)
+    )  # (B, D*H, W, C)
+    return sampled.reshape(b, d, h, w, -1)
