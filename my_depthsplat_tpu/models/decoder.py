@@ -1,0 +1,93 @@
+"""Splatting decoder: render Gaussians into target views.
+
+Re-design of src/model/decoder/decoder_splatting_cuda.py:20-91 — but instead of
+a per-batch python loop into a CUDA rasterizer, the (batch, view) axes are
+flattened and rendered by one batched call into the differentiable renderer
+(oracle or Pallas backend), which vmaps/shards internally.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from ..gaussians.types import Gaussians
+from ..render import DepthRenderingMode, render, render_depth
+
+
+class DecoderOutput(NamedTuple):
+    color: Array  # (B, V, H, W, 3)
+    depth: Array | None  # (B, V, H, W)
+
+
+@dataclass(frozen=True)
+class DecoderSplattingCfg:
+    background_color: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    backend: str = "auto"
+
+
+def decode_splatting(
+    cfg: DecoderSplattingCfg,
+    gaussians: Gaussians,
+    extrinsics: Array,  # (B, V, 4, 4) target views
+    intrinsics: Array,  # (B, V, 3, 3)
+    near: Array,  # (B, V)
+    far: Array,  # (B, V)
+    image_shape: tuple[int, int],
+    depth_mode: DepthRenderingMode | None = None,
+    render_sharding=None,  # NamedSharding over the flattened (b v) render axis
+) -> DecoderOutput:
+    b, v = extrinsics.shape[:2]
+
+    def bv(x: Array) -> Array:
+        x = x.reshape(b * v, *x.shape[2:])
+        if render_sharding is not None:
+            # SPMD: spread target views over the (data, model) mesh axes —
+            # the reference's render-chunk loop (model_wrapper.py:455-484)
+            # becomes a sharded batch axis instead.
+            x = jax.lax.with_sharding_constraint(x, render_sharding)
+        return x
+
+    def rep(x: Array) -> Array:
+        x = jnp.repeat(x, v, axis=0)
+        if render_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, render_sharding)
+        return x
+
+    bg = jnp.broadcast_to(
+        jnp.asarray(cfg.background_color, jnp.float32), (b * v, 3)
+    )
+    color = render(
+        bv(extrinsics),
+        bv(intrinsics),
+        bv(near),
+        bv(far),
+        image_shape,
+        bg,
+        rep(gaussians.means),
+        rep(gaussians.covariances),
+        rep(gaussians.harmonics),
+        rep(gaussians.opacities),
+        backend=cfg.backend,
+    )
+    color = color.reshape(b, v, *color.shape[1:])
+
+    depth = None
+    if depth_mode is not None:
+        depth = render_depth(
+            bv(extrinsics),
+            bv(intrinsics),
+            bv(near),
+            bv(far),
+            image_shape,
+            rep(gaussians.means),
+            rep(gaussians.covariances),
+            rep(gaussians.opacities),
+            mode=depth_mode,
+            backend=cfg.backend,
+        ).reshape(b, v, *image_shape)
+    return DecoderOutput(color, depth)

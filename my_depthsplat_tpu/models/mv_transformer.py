@@ -1,0 +1,237 @@
+"""Multi-view feature transformer with swin-style split-window attention.
+
+Re-design of reference src/model/encoder/unimatch/mv_transformer.py:
+- features stay (B, V, H, W, C); no list-of-views / cat-along-batch shuffling
+- window split/merge are reshapes; shifted windows via jnp.roll
+- cross-view attention: each view's queries attend to the other views' tokens
+  (or a kNN subset through nn_idx), stacked along the key axis
+- the shifted-window mask is computed statically in numpy
+
+Semantics match the reference layer math: single-head q/k/v (no bias) + merge
++ post-LayerNorm, FFN on concat(source, message), residual adds.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from .layers import Dense
+
+
+@lru_cache(maxsize=None)
+def shifted_window_mask(
+    h: int, w: int, splits: int
+) -> np.ndarray:
+    """(K*K, L, L) additive mask (0 / -100) for shifted-window attention."""
+    wh, ww = h // splits, w // splits
+    sh, sw = wh // 2, ww // 2
+    img = np.zeros((h, w), np.int32)
+    cnt = 0
+    for hs in (slice(0, -wh), slice(-wh, -sh), slice(-sh, None)):
+        for ws in (slice(0, -ww), slice(-ww, -sw), slice(-sw, None)):
+            img[hs, ws] = cnt
+            cnt += 1
+    # split into windows: (K, wh, K, ww) -> (K*K, wh*ww)
+    win = img.reshape(splits, wh, splits, ww).transpose(0, 2, 1, 3).reshape(
+        splits * splits, wh * ww
+    )
+    diff = win[:, None, :] - win[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def _split_windows(x: Array, splits: int) -> Array:
+    """(..., H, W, C) -> (..., K*K, wh*ww, C)."""
+    *lead, h, w, c = x.shape
+    wh, ww = h // splits, w // splits
+    x = x.reshape(*lead, splits, wh, splits, ww, c)
+    x = jnp.moveaxis(x, -3, -4)  # (..., K, K, wh, ww, C)
+    return x.reshape(*lead, splits * splits, wh * ww, c)
+
+
+def _merge_windows(x: Array, splits: int, h: int, w: int) -> Array:
+    """(..., K*K, wh*ww, C) -> (..., H, W, C)."""
+    *lead, _, _, c = x.shape
+    wh, ww = h // splits, w // splits
+    x = x.reshape(*lead, splits, splits, wh, ww, c)
+    x = jnp.moveaxis(x, -3, -4)  # (..., K, wh, K, ww, C)
+    return x.reshape(*lead, h, w, c)
+
+
+def _window_attention(
+    q: Array,  # (..., H, W, C)
+    k: Array,  # (..., M, H, W, C)  M = number of kv views (1 for self)
+    v: Array,
+    splits: int,
+    with_shift: bool,
+) -> Array:
+    *lead, h, w, c = q.shape
+    m = k.shape[-4]
+    if with_shift:
+        wh, ww = h // splits, w // splits
+        sh, sw = wh // 2, ww // 2
+        q = jnp.roll(q, (-sh, -sw), axis=(-3, -2))
+        k = jnp.roll(k, (-sh, -sw), axis=(-3, -2))
+        v = jnp.roll(v, (-sh, -sw), axis=(-3, -2))
+
+    qw = _split_windows(q, splits)  # (..., KK, L, C)
+    kw = _split_windows(k, splits)  # (..., M, KK, L, C)
+    vw = _split_windows(v, splits)
+    kw = jnp.moveaxis(kw, -4, -3)  # (..., KK, M, L, C)
+    vw = jnp.moveaxis(vw, -4, -3)
+    kk, l = qw.shape[-3], qw.shape[-2]
+    kw = kw.reshape(*kw.shape[:-4], kk, m * l, c)
+    vw = vw.reshape(*vw.shape[:-4], kk, m * l, c)
+
+    scores = jnp.einsum("...lc,...sc->...ls", qw, kw) / (c**0.5)
+    if with_shift:
+        mask = jnp.asarray(
+            np.tile(shifted_window_mask(h, w, splits), (1, 1, m)), scores.dtype
+        )
+        scores = scores + mask
+    attn = nn.softmax(scores, axis=-1)
+    out = jnp.einsum("...ls,...sc->...lc", attn, vw)
+    return _merge_windows_roll_back(out, splits, h, w, with_shift)
+
+
+def _merge_windows_roll_back(out, splits, h, w, with_shift):
+    out = _merge_windows(out, splits, h, w)
+    if with_shift:
+        wh, ww = h // splits, w // splits
+        out = jnp.roll(out, (wh // 2, ww // 2), axis=(-3, -2))
+    return out
+
+
+def _full_attention(q: Array, k: Array, v: Array) -> Array:
+    """q: (..., H, W, C); k, v: (..., M, H, W, C) -> (..., H, W, C)."""
+    *lead, h, w, c = q.shape
+    m = k.shape[-4]
+    qf = q.reshape(*lead, h * w, c)
+    kf = k.reshape(*lead, m * h * w, c)
+    vf = v.reshape(*lead, m * h * w, c)
+    scores = jnp.einsum("...lc,...sc->...ls", qf, kf) / (c**0.5)
+    attn = nn.softmax(scores, axis=-1)
+    out = jnp.einsum("...ls,...sc->...lc", attn, vf)
+    return out.reshape(*lead, h, w, c)
+
+
+class AttentionLayer(nn.Module):
+    """q/k/v projection + windowed attention + merge/norm (+ optional FFN)."""
+
+    d_model: int
+    no_ffn: bool = False
+    ffn_dim_expansion: int = 4
+    with_shift: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        source: Array,  # (..., H, W, C)
+        target: Array,  # (..., M, H, W, C)
+        attn_splits: int = 1,
+    ) -> Array:
+        q = Dense(self.d_model, use_bias=False, name="q_proj")(source)
+        k = Dense(self.d_model, use_bias=False, name="k_proj")(target)
+        v = Dense(self.d_model, use_bias=False, name="v_proj")(target)
+
+        if attn_splits > 1:
+            message = _window_attention(q, k, v, attn_splits, self.with_shift)
+        else:
+            message = _full_attention(q, k, v)
+
+        message = Dense(self.d_model, use_bias=False, name="merge")(message)
+        message = nn.LayerNorm(epsilon=1e-5, name="norm1")(message)
+
+        if not self.no_ffn:
+            message = jnp.concatenate([source, message], axis=-1)
+            hidden = self.d_model * 2 * self.ffn_dim_expansion
+            message = Dense(hidden, use_bias=False, name="mlp_0")(message)
+            message = nn.gelu(message, approximate=False)
+            message = Dense(self.d_model, use_bias=False, name="mlp_1")(message)
+            message = nn.LayerNorm(epsilon=1e-5, name="norm2")(message)
+
+        return source + message
+
+
+class MultiViewTransformerBlock(nn.Module):
+    d_model: int
+    ffn_dim_expansion: int = 4
+    with_shift: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, kv_idx: Array | None, attn_splits: int) -> Array:
+        """x: (B, V, H, W, C); kv_idx: (B, V, M) int gather indices or None."""
+        b, v, h, w, c = x.shape
+
+        # Self-attention: each view attends within itself.
+        x = AttentionLayer(
+            self.d_model,
+            no_ffn=True,
+            ffn_dim_expansion=self.ffn_dim_expansion,
+            with_shift=self.with_shift,
+            name="self_attn",
+        )(x, x[:, :, None], attn_splits)
+
+        # Cross-attention: kv from the other views (all V-1 or kNN subset).
+        if kv_idx is None:
+            # all other views: build (V, V-1) static index table
+            idx = np.stack([
+                [j for j in range(v) if j != i] for i in range(v)
+            ]).astype(np.int32)  # (V, V-1)
+            kv = x[:, jnp.asarray(idx)]  # (B, V, V-1, H, W, C)
+        else:
+            kv = _gather_views(x, kv_idx)
+
+        x = AttentionLayer(
+            self.d_model,
+            no_ffn=False,
+            ffn_dim_expansion=self.ffn_dim_expansion,
+            with_shift=self.with_shift,
+            name="cross_attn_ffn",
+        )(x, kv, attn_splits)
+        return x
+
+
+def _gather_views(x: Array, idx: Array) -> Array:
+    """x: (B, V, H, W, C), idx: (B, V, M) -> (B, V, M, H, W, C)."""
+    b, v, h, w, c = x.shape
+    m = idx.shape[-1]
+    flat = jnp.take_along_axis(
+        x.reshape(b, v, -1)[:, None].repeat(v, axis=1),
+        idx[..., None],
+        axis=2,
+    )
+    return flat.reshape(b, v, m, h, w, c)
+
+
+class MultiViewFeatureTransformer(nn.Module):
+    """Stack of (self + cross + FFN) blocks; odd layers use shifted windows.
+
+    Reference: MultiViewFeatureTransformer (mv_transformer.py:540-650).
+    """
+
+    num_layers: int = 6
+    d_model: int = 128
+    ffn_dim_expansion: int = 4
+
+    @nn.compact
+    def __call__(
+        self,
+        features: Array,  # (B, V, H, W, C)
+        attn_splits: int = 2,
+        nn_idx: Array | None = None,  # (B, V, k+1) incl. self at position 0
+    ) -> Array:
+        kv_idx = None if nn_idx is None else nn_idx[..., 1:]
+        x = features
+        for i in range(self.num_layers):
+            x = MultiViewTransformerBlock(
+                self.d_model,
+                self.ffn_dim_expansion,
+                with_shift=(i % 2 == 1),
+                name=f"layer_{i}",
+            )(x, kv_idx, attn_splits)
+        return x

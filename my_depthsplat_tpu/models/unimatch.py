@@ -1,0 +1,311 @@
+"""MultiViewUniMatch depth network (the published DepthSplat depth branch).
+
+Re-design of src/model/encoder/unimatch/mv_unimatch.py:18-589 for TPU:
+- all tensors stay (B, V, ...) channels-last; no list-of-views shuffling and no
+  runtime `set_num_views` patching (the view count is a real array dimension)
+- plane-sweep warping is a vmapped bilinear gather (ops/grid_sample) — the
+  cost-volume mean over source views is the natural psum axis when views are
+  sharded (SURVEY.md §2.4)
+- coarse-to-fine inverse-depth refinement with static per-scale shapes
+
+Inverse-depth convention: ``min_depth`` = 1/far, ``max_depth`` = 1/near, both
+(B, V); candidates ascend from far to near like the reference.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from ..ops import resize_bilinear, warp_with_pose_depth_candidates
+from .backbone import CNNEncoder
+from .dpt import DPTUpsamplerHead
+from .layers import Conv
+from .ldm_unet import UNetModel
+from .mv_transformer import MultiViewFeatureTransformer
+from .position import add_position_in_windows
+from .vit import INTERMEDIATE_LAYER_IDX, VIT_CONFIGS, DinoViT, normalize_imagenet
+
+DPT_MODEL_CONFIGS = {
+    # dpt upsampler channel plan per vit type (mv_unimatch.py:180-197)
+    "vits": {"features": 32, "out_channels": (48, 96, 192, 384)},
+    "vitb": {"features": 48, "out_channels": (96, 192, 384, 768)},
+    "vitl": {"features": 64, "out_channels": (128, 256, 512, 1024)},
+}
+
+
+def _other_view_indices(v: int) -> np.ndarray:
+    return np.stack(
+        [[j for j in range(v) if j != i] for i in range(v)]
+    ).astype(np.int32)
+
+
+def gather_source_views(x: Array, idx: Array) -> Array:
+    """x: (B, V, ...), idx: (B, V, M) -> (B, V, M, ...)."""
+    b, v = x.shape[:2]
+    m = idx.shape[-1]
+    trailing = x.shape[2:]
+    flat = x.reshape(b, v, -1)
+    out = jnp.take_along_axis(flat[:, None].repeat(v, 1), idx[..., None], axis=2)
+    return out.reshape(b, v, m, *trailing)
+
+
+class MultiViewUniMatch(nn.Module):
+    num_scales: int = 1
+    feature_channels: int = 128
+    upsample_factor: int = 8
+    lowest_feature_resolution: int = 8
+    num_transformer_layers: int = 6
+    num_depth_candidates: int = 128
+    vit_type: str = "vits"
+    unet_channels: int = 128
+    unet_channel_mult: tuple[int, ...] = (1, 1, 1)
+    unet_num_res_blocks: int = 1
+    unet_attn_resolutions: tuple[int, ...] = (4,)
+
+    @nn.compact
+    def __call__(
+        self,
+        images: Array,  # (B, V, H, W, 3) in [0, 1]
+        intrinsics: Array,  # (B, V, 3, 3) normalized
+        extrinsics: Array,  # (B, V, 4, 4) c2w
+        min_depth: Array,  # (B, V) = 1 / far
+        max_depth: Array,  # (B, V) = 1 / near
+        attn_splits: int = 2,
+        nn_idx: Array | None = None,  # (B, V, k+1) incl self at [..., 0]
+        training: bool = False,
+    ) -> dict[str, Any]:
+        b, v, h, w, _ = images.shape
+        results: dict[str, Any] = {}
+        images_norm = normalize_imagenet(images)
+
+        # Pixel-unit intrinsics (the reference denormalizes, mv_unimatch:253-255).
+        pix = jnp.stack(
+            [jnp.full((), w, jnp.float32), jnp.full((), h, jnp.float32), jnp.ones(())]
+        )
+        intrinsics_px = intrinsics * pix[None, None, :, None]
+
+        # --- CNN pyramid (fold views into batch) ---
+        flat = images_norm.reshape(b * v, h, w, 3)
+        cnn_all = CNNEncoder(
+            output_dim=self.feature_channels,
+            lowest_scale=self.lowest_feature_resolution,
+            name="backbone",
+        )(flat)  # high -> low resolution
+        cnn_all = [f.reshape(b, v, *f.shape[1:]) for f in cnn_all]
+        cnn_low_to_high = cnn_all[::-1]
+        features_cnn = cnn_low_to_high[: self.num_scales]
+        results["features_cnn_all_scales"] = cnn_all
+        results["features_cnn"] = features_cnn
+
+        # --- multi-view transformer on the lowest-resolution features ---
+        feat0 = add_position_in_windows(features_cnn[0], attn_splits)
+        features_mv = MultiViewFeatureTransformer(
+            num_layers=self.num_transformer_layers,
+            d_model=self.feature_channels,
+            name="transformer",
+        )(feat0, attn_splits=attn_splits, nn_idx=nn_idx)
+
+        if self.num_scales > 1:
+            from .vit_fpn import ViTFeaturePyramid
+
+            mv_list = ViTFeaturePyramid(
+                tuple(2.0**i for i in range(self.num_scales)), name="mv_pyramid"
+            )(features_mv.reshape(b * v, *features_mv.shape[2:]))
+            features_mv_scales = [f.reshape(b, v, *f.shape[1:]) for f in mv_list]
+        else:
+            features_mv_scales = [features_mv]
+        results["features_mv"] = features_mv_scales
+
+        # --- DINOv2 monocular features, resized to 1/8 ---
+        vit_cfg = VIT_CONFIGS[self.vit_type]
+        rh, rw = h // 14 * 14, w // 14 * 14
+        vit_in = resize_bilinear(flat, (rh, rw), align_corners=True)
+        vit_layers = DinoViT(vit_cfg, name="pretrained")(
+            vit_in, INTERMEDIATE_LAYER_IDX[self.vit_type]
+        )
+        mono_intermediate = []
+        for tokens, _cls in vit_layers:
+            grid = tokens.reshape(b * v, rh // 14, rw // 14, -1)
+            mono_intermediate.append(
+                resize_bilinear(grid, (h // 8, w // 8), align_corners=True)
+            )
+        results["features_mono_intermediate"] = [
+            f.reshape(b, v, *f.shape[1:]) for f in mono_intermediate
+        ]
+
+        mono = mono_intermediate[-1]
+        if self.lowest_feature_resolution == 4:
+            mono = resize_bilinear(
+                mono, (mono.shape[1] * 2, mono.shape[2] * 2), align_corners=True
+            )
+        if self.num_scales > 1:
+            from .vit_fpn import ViTFeaturePyramid
+
+            mono_list = ViTFeaturePyramid(
+                tuple(2.0**i for i in range(self.num_scales)), name="mono_pyramid"
+            )(mono)
+        else:
+            mono_list = [mono]
+        features_mono_scales = [f.reshape(b, v, *f.shape[1:]) for f in mono_list]
+        results["features_mono"] = features_mono_scales
+
+        # --- source-view index table ---
+        if nn_idx is None:
+            src_idx = jnp.broadcast_to(
+                jnp.asarray(_other_view_indices(v))[None], (b, v, v - 1)
+            )
+        else:
+            src_idx = nn_idx[..., 1:]
+        m = src_idx.shape[-1]
+
+        src_extr = gather_source_views(extrinsics, src_idx)  # (B, V, M, 4, 4)
+        # relative pose: ref camera -> source camera (mv_unimatch:405-407)
+        rel_pose = jnp.linalg.inv(src_extr) @ extrinsics[:, :, None]
+
+        depth = None  # inverse depth, (B, V, hs, ws, 1)
+        depth_preds: list[Array] = []
+        match_probs: list[Array] = []
+
+        for scale_idx in range(self.num_scales):
+            df = self.upsample_factor * 2 ** (self.num_scales - 1 - scale_idx)
+            num_d = self.num_depth_candidates // 4**scale_idx
+
+            intr_s = intrinsics_px.at[..., :2, :].multiply(1.0 / df)
+            feats = features_mv_scales[scale_idx]  # (B, V, hs, ws, C)
+            hs, ws, c = feats.shape[2:]
+
+            if scale_idx > 0:
+                assert depth is not None
+                depth = jax.lax.stop_gradient(
+                    resize_bilinear(depth, (hs, ws), align_corners=True)
+                )
+
+            lin = jnp.linspace(0.0, 1.0, num_d)
+            inv_near = max_depth[..., None, None, None]  # (B, V, 1, 1, 1)
+            inv_far = min_depth[..., None, None, None]
+            if scale_idx == 0:
+                # uniform inverse-depth candidates, (B, V, D, 1, 1)
+                cand = inv_far + lin[None, None, :, None, None] * (inv_near - inv_far)
+                cand = jnp.broadcast_to(cand, (b, v, num_d, hs, ws))
+            else:
+                interval = (
+                    (inv_near - inv_far)
+                    / (self.num_depth_candidates - 1)
+                    / 2**scale_idx
+                )
+                d_prev = jnp.moveaxis(depth, -1, 2)  # (B, V, 1, hs, ws)
+                lo = jnp.maximum(d_prev - interval * (num_d // 2), inv_far)
+                hi = jnp.minimum(d_prev + interval * (num_d // 2 - 1), inv_near)
+                cand = lo + lin[None, None, :, None, None] * (hi - lo)
+
+            # --- plane-sweep cost volume ---
+            src_feats = gather_source_views(feats, src_idx)  # (B, V, M, hs, ws, C)
+            cand_rep = jnp.broadcast_to(
+                cand[:, :, None], (b, v, m, num_d, hs, ws)
+            )
+            # ref intrinsics used on both sides, like the reference
+            # (mv_unimatch:477-490 passes the ref view's K into the warp).
+            intr_rep = jnp.broadcast_to(intr_s[:, :, None], (b, v, m, 3, 3))
+
+            warped = warp_with_pose_depth_candidates(
+                src_feats.reshape(b * v * m, hs, ws, c),
+                intr_rep.reshape(b * v * m, 3, 3),
+                rel_pose.reshape(b * v * m, 4, 4),
+                1.0 / cand_rep.reshape(b * v * m, num_d, hs, ws),
+            ).reshape(b, v, m, num_d, hs, ws, c)
+
+            # correlation / sqrt(C), mean over source views (mv_unimatch:500-505)
+            cost = (
+                jnp.einsum("bvhwc,bvmdhwc->bvmdhw", feats, warped) / c**0.5
+            ).mean(axis=2)
+            cost = jnp.moveaxis(cost, 2, -1)  # (B, V, hs, ws, D)
+
+            # --- UNet regressor ---
+            concat = jnp.concatenate(
+                [
+                    cost,
+                    features_cnn[scale_idx],
+                    feats,
+                    features_mono_scales[scale_idx],
+                ],
+                axis=-1,
+            )
+            channels = self.unet_channels // 2**scale_idx
+            mult = tuple(self.unet_channel_mult) + (1,) * scale_idx
+            attn_res = tuple(r * 2**scale_idx for r in self.unet_attn_resolutions)
+
+            x = Conv(channels, 3, name=f"regressor{scale_idx}_in")(concat)
+            x = nn.GroupNorm(num_groups=8, epsilon=1e-5,
+                             name=f"regressor{scale_idx}_gn")(x)
+            x = nn.gelu(x, approximate=False)
+            x = UNetModel(
+                model_channels=channels,
+                out_channels=channels,
+                num_res_blocks=self.unet_num_res_blocks,
+                attention_resolutions=attn_res,
+                channel_mult=mult,
+                num_head_channels=32,
+                use_cross_view_self_attn=True,
+                name=f"regressor{scale_idx}_unet",
+            )(x)
+            x = Conv(channels, 3, name=f"regressor{scale_idx}_out")(x)
+            x = x + Conv(channels, 1, padding=0,
+                         name=f"regressor{scale_idx}_residual")(concat)
+
+            # --- depth head: softmax expectation over candidates ---
+            logits = Conv(channels * 2, 3, padding_mode="replicate",
+                          name=f"depth_head{scale_idx}_0")(x)
+            logits = nn.gelu(logits, approximate=False)
+            logits = Conv(num_d, 3, padding_mode="replicate",
+                          name=f"depth_head{scale_idx}_1")(logits)
+            prob = nn.softmax(logits, axis=-1)  # (B, V, hs, ws, D)
+            match_probs.append(prob)
+            depth = jnp.einsum(
+                "bvhwd,bvdhw->bvhw", prob, cand
+            )[..., None]  # (B, V, hs, ws, 1) inverse depth
+
+            if training and scale_idx < self.num_scales - 1:
+                depth_preds.append(
+                    resize_bilinear(depth, (h, w), align_corners=True)
+                )
+
+            if scale_idx == self.num_scales - 1:
+                dpt_cfg = DPT_MODEL_CONFIGS[self.vit_type]
+                mv_in = (
+                    features_mv_scales[0].reshape(b * v, *features_mv_scales[0].shape[2:])
+                    if self.num_scales == 1
+                    else [
+                        f.reshape(b * v, *f.shape[2:])
+                        for f in features_mv_scales[::-1]
+                    ]
+                )
+                residual = DPTUpsamplerHead(
+                    out_channels=dpt_cfg["out_channels"],
+                    features=dpt_cfg["features"],
+                    downsample_factor=self.upsample_factor,
+                    num_scales=self.num_scales,
+                    name="upsampler",
+                )(
+                    mono_intermediate,
+                    # resolution high -> low: [1/2, 1/4-ish, lowest]
+                    [f.reshape(b * v, *f.shape[2:]) for f in cnn_all],
+                    mv_in,
+                    depth.reshape(b * v, hs, ws, 1),
+                )  # (BV, H, W, 1)
+                residual = residual.reshape(b, v, h, w, 1)
+                depth_full = resize_bilinear(depth, (h, w), align_corners=True)
+                depth_full = jnp.clip(
+                    depth_full + residual, inv_far, inv_near
+                )
+                depth_preds.append(depth_full)
+
+        # inverse depth -> depth (B, V, H, W)
+        results["depth_preds"] = [1.0 / d[..., 0] for d in depth_preds]
+        results["match_probs"] = match_probs
+        return results

@@ -45,6 +45,36 @@ def _linear_matrix(n_in: int, n_out: int, align_corners: bool) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def _cubic_matrix(n_in: int, n_out: int, scale: float | None = None) -> np.ndarray:
+    """(n_out, n_in) bicubic matrix, torch align_corners=False, a=-0.75.
+
+    When ``scale`` is given, mimics torch's scale_factor semantics
+    (src = (dst + 0.5)/scale - 0.5 with the given scale, used by DINOv2's
+    pos-embed interpolation); otherwise scale = n_out / n_in.
+    """
+    a = -0.75
+
+    def kernel(t: np.ndarray) -> np.ndarray:
+        t = np.abs(t)
+        return np.where(
+            t <= 1,
+            (a + 2) * t**3 - (a + 3) * t**2 + 1,
+            np.where(t < 2, a * t**3 - 5 * a * t**2 + 8 * a * t - 4 * a, 0.0),
+        )
+
+    s = (n_out / n_in) if scale is None else scale
+    m = np.zeros((n_out, n_in), dtype=np.float64)
+    for i in range(n_out):
+        src = (i + 0.5) / s - 0.5
+        base = int(np.floor(src))
+        for k in range(-1, 3):
+            idx = base + k
+            w = kernel(src - idx)
+            m[i, int(np.clip(idx, 0, n_in - 1))] += w
+    return m.astype(np.float32)
+
+
+@lru_cache(maxsize=None)
 def _nearest_matrix(n_in: int, n_out: int) -> np.ndarray:
     """(n_out, n_in) nearest resample matrix (torch 'nearest': floor(i*in/out))."""
     m = np.zeros((n_out, n_in), dtype=np.float32)
@@ -72,6 +102,25 @@ def resize_bilinear(
         x,
         _linear_matrix(h_in, h_out, align_corners),
         _linear_matrix(w_in, w_out, align_corners),
+    )
+
+
+def resize_bicubic(
+    x: Array,
+    size: tuple[int, int],
+    scale: tuple[float, float] | None = None,
+) -> Array:
+    """Resize (..., H, W, C) with torch bicubic (align_corners=False) semantics.
+
+    ``scale`` overrides the implied scale factors (DINOv2 pos-embed
+    interpolation passes explicit scale_factor, vision_transformer.py:179-210).
+    """
+    h_in, w_in = x.shape[-3], x.shape[-2]
+    h_out, w_out = size
+    return _apply_separable(
+        x,
+        _cubic_matrix(h_in, h_out, None if scale is None else scale[0]),
+        _cubic_matrix(w_in, w_out, None if scale is None else scale[1]),
     )
 
 

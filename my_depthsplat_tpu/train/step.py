@@ -1,0 +1,117 @@
+"""The jitted training step: encoder -> decoder -> losses -> AdamW update.
+
+Replaces the reference's Lightning training_step (model_wrapper.py:165-373):
+pure-functional TrainState, sharding-in-types data parallelism (batch on the
+"data" mesh axis; jit inserts the gradient psum), render-loss on final +
+intermediate outputs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax import Array
+
+from ..models import DecoderSplattingCfg, EncoderDepthSplat, decode_splatting
+from ..models.encoder import EncoderDepthSplatCfg
+from .losses import LossCfg, compute_losses
+from .optim import OptimizerCfg, make_optimizer
+
+
+@dataclass(frozen=True)
+class TrainCfg:
+    encoder: EncoderDepthSplatCfg = field(default_factory=EncoderDepthSplatCfg)
+    decoder: DecoderSplattingCfg = field(default_factory=DecoderSplattingCfg)
+    loss: LossCfg = field(default_factory=LossCfg)
+    optimizer: OptimizerCfg = field(default_factory=OptimizerCfg)
+
+
+class TrainState(struct.PyTreeNode):
+    step: Array
+    params: Any
+    opt_state: Any
+    lpips_params: Any = None  # frozen perceptual net
+
+    @classmethod
+    def create(cls, params, tx, lpips_params=None):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            lpips_params=lpips_params,
+        )
+
+
+def make_train_step(
+    cfg: TrainCfg,
+    lpips_apply_fn: Callable | None = None,
+    render_sharding=None,
+) -> tuple[Callable, Callable]:
+    """Returns (init_fn, train_step).
+
+    train_step(state, batch) -> (state, logs). ``batch`` carries
+    {"context": {...}, "target": {image, extrinsics, intrinsics, near, far}}.
+    Shard the batch's leading axis over the mesh "data" axis and jit with
+    matching in_shardings; gradients reduce automatically.
+    """
+    encoder = EncoderDepthSplat(cfg.encoder)
+    tx = make_optimizer(cfg.optimizer, None)
+
+    def init_fn(rng, batch, lpips_params=None) -> TrainState:
+        params = encoder.init(rng, batch["context"], training=True)
+        return TrainState.create(params, tx, lpips_params)
+
+    def loss_fn(params, state: TrainState, batch):
+        target = batch["target"]
+        h, w = target["image"].shape[2:4]
+        out = encoder.apply(params, batch["context"], training=True)
+        gaussians = out["gaussians"]
+
+        b = target["extrinsics"].shape[0]
+        b_eff = gaussians.means.shape[0]
+        num = b_eff // b
+
+        def rep(x):
+            return jnp.concatenate([x] * num, axis=0) if num > 1 else x
+
+        dec = decode_splatting(
+            cfg.decoder,
+            gaussians,
+            rep(target["extrinsics"]),
+            rep(target["intrinsics"]),
+            rep(target["near"]),
+            rep(target["far"]),
+            (h, w),
+            render_sharding=render_sharding,
+        )
+        total, logs = compute_losses(
+            cfg.loss,
+            dec.color,
+            target["image"],
+            state.step,
+            lpips_apply_fn,
+            state.lpips_params,
+        )
+        # train/psnr on the final prediction (model_wrapper.py:238-243)
+        mse = jnp.mean((dec.color[-b:] - target["image"]) ** 2, axis=(2, 3, 4))
+        logs["train/psnr"] = (-10.0 * jnp.log10(jnp.maximum(mse, 1e-10))).mean()
+        return total, logs
+
+    def train_step(state: TrainState, batch):
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state, batch
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state
+        )
+        logs["grad_norm"] = optax.global_norm(grads)
+        return new_state, logs
+
+    return init_fn, train_step

@@ -1,0 +1,174 @@
+"""Data layer tests with a synthetic RE10K-style chunk on disk."""
+
+import io
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+from PIL import Image
+
+from my_depthsplat_tpu.data import (
+    DataLoaderCfg,
+    apply_bounds_shim,
+    apply_patch_shim,
+    batch_examples,
+    data_loader,
+    get_view_sampler,
+)
+from my_depthsplat_tpu.data.re10k import DatasetRE10k, DatasetRE10kCfg, convert_poses
+from my_depthsplat_tpu.data.view_samplers import farthest_point_sample
+
+
+def make_chunk(path: Path, n_scenes=2, n_frames=12, h=72, w=96, seed=0):
+    rng = np.random.default_rng(seed)
+    scenes = []
+    for s in range(n_scenes):
+        cameras = np.zeros((n_frames, 18), np.float32)
+        cameras[:, 0] = 0.9  # fx
+        cameras[:, 1] = 1.2  # fy
+        cameras[:, 2] = 0.5
+        cameras[:, 3] = 0.5
+        for i in range(n_frames):
+            w2c = np.eye(4, dtype=np.float32)
+            w2c[0, 3] = -0.1 * i  # camera translates along +x in world
+            cameras[i, 6:] = w2c[:3].reshape(-1)
+        images = []
+        for i in range(n_frames):
+            arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG")
+            images.append(torch.frombuffer(
+                bytearray(buf.getvalue()), dtype=torch.uint8))
+        scenes.append({"key": f"scene{s}", "cameras": torch.from_numpy(cameras),
+                       "images": images})
+    torch.save(scenes, path)
+
+
+@pytest.fixture
+def chunk_dir(tmp_path):
+    d = tmp_path / "re10k" / "train"
+    d.mkdir(parents=True)
+    make_chunk(d / "000000.torch")
+    test_d = tmp_path / "re10k" / "test"
+    test_d.mkdir()
+    make_chunk(test_d / "000000.torch", seed=1)
+    return tmp_path / "re10k"
+
+
+def test_convert_poses_roundtrip():
+    cameras = np.zeros((3, 18), np.float32)
+    cameras[:, :4] = [0.8, 1.1, 0.5, 0.5]
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[:3, 3] = [1, 2, 3]
+    cameras[:, 6:] = w2c[:3].reshape(-1)
+    extr, intr = convert_poses(cameras)
+    np.testing.assert_allclose(extr[0], np.linalg.inv(w2c), atol=1e-6)
+    assert intr[0, 0, 0] == np.float32(0.8)
+
+
+def test_dataset_iteration_and_loader(chunk_dir):
+    cfg = DatasetRE10kCfg(
+        roots=(chunk_dir,),
+        image_shape=(48, 64),
+        expected_shape=(72, 96),
+        augment=True,
+    )
+    sampler = get_view_sampler(
+        "bounded",
+        num_context_views=2,
+        num_target_views=2,
+        min_distance_between_context_views=3,
+        max_distance_between_context_views=6,
+        stage="train",
+    )
+    ds = DatasetRE10k(cfg, "train", sampler)
+    batch = next(iter(data_loader(ds, DataLoaderCfg(batch_size=2), "train")))
+    assert batch["context"]["image"].shape == (2, 2, 48, 64, 3)
+    assert batch["target"]["image"].shape == (2, 2, 48, 64, 3)
+    assert batch["context"]["extrinsics"].shape == (2, 2, 4, 4)
+    assert batch["context"]["image"].dtype == np.float32
+    assert 0.0 <= batch["context"]["image"].min() <= batch["context"]["image"].max() <= 1.0
+    # intrinsics adjusted by crop: fy scaled by 72/?? -> just check normalized-ish
+    assert np.isfinite(batch["context"]["intrinsics"]).all()
+
+
+def test_test_stage_deterministic(chunk_dir):
+    cfg = DatasetRE10kCfg(roots=(chunk_dir,), image_shape=(48, 64),
+                          expected_shape=(72, 96))
+    sampler = get_view_sampler(
+        "bounded",
+        num_context_views=2,
+        num_target_views=2,
+        max_distance_between_context_views=5,
+        stage="test",
+    )
+    ds = DatasetRE10k(cfg, "test", sampler)
+    b1 = list(data_loader(ds, DataLoaderCfg(batch_size=1), "test"))
+    b2 = list(data_loader(ds, DataLoaderCfg(batch_size=1), "test"))
+    assert len(b1) == len(b2) > 0
+    np.testing.assert_array_equal(
+        b1[0]["context"]["image"], b2[0]["context"]["image"]
+    )
+    # test stage: context always starts at frame 0 with the full gap
+    np.testing.assert_array_equal(b1[0]["context"]["index"][0], [0, 5])
+
+
+def test_patch_and_bounds_shims(chunk_dir):
+    cfg = DatasetRE10kCfg(roots=(chunk_dir,), image_shape=(48, 64),
+                          expected_shape=(72, 96), augment=False)
+    sampler = get_view_sampler(
+        "bounded", num_target_views=2,
+        min_distance_between_context_views=3,
+        max_distance_between_context_views=6, stage="train",
+    )
+    ds = DatasetRE10k(cfg, "train", sampler)
+    batch = next(iter(data_loader(ds, DataLoaderCfg(batch_size=1), "train")))
+    patched = apply_patch_shim(batch, patch_size=16)
+    assert patched["context"]["image"].shape[2] % 16 == 0
+    assert patched["context"]["image"].shape[3] % 16 == 0
+
+    bounded = apply_bounds_shim(batch, near_disparity=15.0, far_disparity=0.5)
+    assert bounded["context"]["near"].shape == batch["context"]["near"].shape
+    assert (bounded["context"]["near"] < bounded["context"]["far"]).all()
+
+
+def test_bounded_v2_farthest_point():
+    rng = np.random.default_rng(0)
+    extr = np.tile(np.eye(4, dtype=np.float32), (20, 1, 1))
+    extr[:, 0, 3] = np.arange(20) * 0.1
+    intr = np.tile(np.eye(3, dtype=np.float32), (20, 1, 1))
+    sampler = get_view_sampler(
+        "boundedv2",
+        num_context_views=4,
+        num_target_views=3,
+        min_distance_between_context_views=10,
+        max_distance_between_context_views=15,
+        max_distance_to_context_views=2,
+        extra_views_sampling_strategy="farthest_point",
+        stage="train",
+    )
+    ctx, tgt = sampler.sample("s", extr, intr, rng)
+    assert len(ctx) == 4
+    # FPS keeps the reference's ordering (first/last = FPS extremes, middle
+    # sorted) — only require distinct, in-range indices.
+    assert len(set(ctx.tolist())) == 4
+    assert ctx.min() >= 0 and ctx.max() < 20
+    assert len(tgt) == 3
+
+    # farthest_point_sample covers the extremes of a line
+    pts = np.stack([np.arange(10.0), np.zeros(10), np.zeros(10)], -1)
+    sel = farthest_point_sample(pts, 3)
+    assert {0, 9} <= set(sel.tolist())
+
+
+def test_evaluation_sampler(tmp_path):
+    import json
+
+    idx = {"sceneA": {"context": [0, 5], "target": [1, 2, 3]}}
+    p = tmp_path / "index.json"
+    p.write_text(json.dumps(idx))
+    sampler = get_view_sampler("evaluation", index_path=p)
+    ctx, tgt = sampler.sample("sceneA", None, None)
+    np.testing.assert_array_equal(ctx, [0, 5])
+    np.testing.assert_array_equal(tgt, [1, 2, 3])
