@@ -1,0 +1,133 @@
+"""Tile-instance construction for the Pallas rasterizer.
+
+Replaces the CUDA pipeline's duplicate-with-keys + radix-sort + per-tile ranges
+(the diff-gaussian-rasterization preprocessing the reference drives from
+cuda_splatting.py) with static-shaped XLA ops:
+
+1. every gaussian spawns up to ``max_tiles_per_gaussian`` (tile, gaussian)
+   instances covering its screen rect (overflow beyond the cap is counted and
+   dropped — the CUDA version has dynamic allocation instead);
+2. instances are sorted by a composite (tile_id, depth-bits) key — equivalent
+   to the CUDA radix sort and stable for equal depths;
+3. each tile's run is scattered into a segment aligned to ``chunk`` so the
+   kernel's DMAs are aligned and backward chunk writes are tile-exclusive.
+
+Everything except the integer index math is differentiable (gathers of the
+per-gaussian screen data), so autodiff carries gradients from the packed
+instance array back to means/covariances/SH/opacity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+
+from .camera import TILE
+from .projection import ScreenGaussians
+
+# Packed per-instance rows (f32): x, y, conic_a, conic_b, conic_c, opacity,
+# r, g, b. Rows padded to 16 for clean sublane tiling.
+PACKED_ROWS = 16
+
+
+class TileInstances(NamedTuple):
+    packed: Array  # (PACKED_ROWS, L) f32
+    gaussian_id: Array  # (L,) int32, == num_gaussians for padding lanes
+    starts: Array  # (n_tiles,) int32, aligned segment starts
+    counts: Array  # (n_tiles,) int32, live instances per tile
+    grid_hw: tuple[int, int]  # (grid_y, grid_x)
+    num_dropped: Array  # () int32 — instances lost to the per-gaussian cap
+
+
+def build_tile_instances(
+    sg: ScreenGaussians,
+    image_shape: tuple[int, int],
+    max_tiles_per_gaussian: int = 16,
+    chunk: int = 256,
+) -> TileInstances:
+    h, w = image_shape
+    grid_x = (w + TILE - 1) // TILE
+    grid_y = (h + TILE - 1) // TILE
+    n_tiles = grid_x * grid_y
+    g = sg.depth.shape[0]
+    r = max_tiles_per_gaussian
+
+    rect_w = sg.rect_max[:, 0] - sg.rect_min[:, 0]  # (G,)
+    rect_h = sg.rect_max[:, 1] - sg.rect_min[:, 1]
+    area = rect_w * rect_h
+    num_dropped = jnp.sum(jnp.where(sg.valid, jnp.maximum(area - r, 0), 0))
+
+    j = jnp.arange(r, dtype=jnp.int32)  # (R,)
+    rw_safe = jnp.maximum(rect_w, 1)
+    tx = sg.rect_min[:, 0:1] + j[None, :] % rw_safe[:, None]  # (G, R)
+    ty = sg.rect_min[:, 1:2] + j[None, :] // rw_safe[:, None]
+    inst_valid = (j[None, :] < jnp.minimum(area, r)[:, None]) & sg.valid[:, None]
+    tile_id = jnp.where(inst_valid, ty * grid_x + tx, n_tiles).astype(jnp.int32)
+
+    # Sort by (tile, depth) via two stable passes (x64 is disabled, so no
+    # 64-bit composite key): first by depth, then by tile — the stable second
+    # sort preserves the depth order within each tile, exactly like the CUDA
+    # radix sort over [tile | depth-bits] keys.
+    depth_flat = jnp.broadcast_to(sg.depth[:, None], (g, r)).reshape(-1)
+    o1 = jnp.argsort(depth_flat)  # stable
+    tid1 = tile_id.reshape(-1)[o1]
+    o2 = jnp.argsort(tid1)  # stable
+    order = o1[o2]
+    sorted_tid = tid1[o2]
+    sorted_gid = jnp.broadcast_to(
+        jnp.arange(g, dtype=jnp.int32)[:, None], (g, r)
+    ).reshape(-1)[order]
+
+    # Per-tile runs in the sorted array.
+    tiles = jnp.arange(n_tiles, dtype=jnp.int32)
+    run_starts = jnp.searchsorted(sorted_tid, tiles, side="left").astype(jnp.int32)
+    run_ends = jnp.searchsorted(sorted_tid, tiles, side="right").astype(jnp.int32)
+    counts = run_ends - run_starts
+
+    # Aligned segment layout.
+    padded = ((counts + chunk - 1) // chunk) * chunk
+    seg_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded)[:-1].astype(jnp.int32)]
+    )
+    total = g * r + n_tiles * chunk  # static upper bound on layout length
+
+    # Destination of each sorted instance; invalid -> scratch slot at the end.
+    k = jnp.arange(g * r, dtype=jnp.int32)
+    live = sorted_tid < n_tiles
+    tid_safe = jnp.minimum(sorted_tid, n_tiles - 1)
+    dest = seg_starts[tid_safe] + (k - run_starts[tid_safe])
+    dest = jnp.where(live, dest, total)  # drop padding into an overflow slot
+
+    gaussian_id = jnp.full((total + 1,), g, jnp.int32).at[dest].set(sorted_gid)
+    gaussian_id = gaussian_id[:total]
+
+    # Pack per-gaussian screen data, then gather per instance (differentiable).
+    gid_safe = jnp.minimum(gaussian_id, g - 1)
+    lane_live = gaussian_id < g
+    rows = jnp.stack(
+        [
+            sg.xy[:, 0],
+            sg.xy[:, 1],
+            sg.conic[:, 0],
+            sg.conic[:, 1],
+            sg.conic[:, 2],
+            sg.opacity,
+            sg.color[:, 0],
+            sg.color[:, 1],
+            sg.color[:, 2],
+        ]
+    )  # (9, G)
+    packed = jnp.where(lane_live[None, :], rows[:, gid_safe], 0.0)
+    packed = jnp.pad(packed, ((0, PACKED_ROWS - packed.shape[0]), (0, 0)))
+
+    return TileInstances(
+        packed=packed,
+        gaussian_id=gaussian_id,
+        starts=seg_starts,
+        counts=counts,
+        grid_hw=(grid_y, grid_x),
+        num_dropped=num_dropped,
+    )

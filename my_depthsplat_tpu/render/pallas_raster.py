@@ -1,0 +1,426 @@
+"""Pallas TPU tile rasterizer: depth-sorted alpha compositing + custom VJP.
+
+The fast path replacing the reference's external CUDA rasterizer
+(diff-gaussian-rasterization, driven from cuda_splatting.py:98-126):
+
+- forward: one grid step per 16x16 tile; the tile's aligned instance segment
+  (built by instances.py) is DMA'd chunk-by-chunk from HBM into VMEM and
+  composited front-to-back with the exact CUDA gates (power<=0, alpha>=1/255,
+  0.99 clamp, 1e-4 transmittance early-stop); per-pixel color, final
+  transmittance, and last-contributor index are written out.
+- backward: walks the same chunks in reverse, reconstructing per-instance
+  transmittance by division from the stored final transmittance (the CUDA
+  back-to-front scheme) and producing per-INSTANCE gradients — each instance
+  belongs to exactly one tile, so accumulation is race-free and deterministic;
+  instance->gaussian reduction happens outside via the autodiff of the packed
+  gather (a deterministic segment scatter-add).
+
+Kernel I/O is tile-major (gy, gx, 256, 8) so every block satisfies the TPU
+(8, 128)-alignment rules; channels are [r, g, b, T_final, n_contrib, pad...].
+
+Note: like the CUDA backward, the 0.99 alpha clamp is ignored in the gradient
+(opacity gradients flow as if unclamped).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..geometry import get_fov
+from .camera import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    TILE,
+    TRANSMITTANCE_EPS,
+    scale_invariant_normalization,
+)
+from .instances import PACKED_ROWS, build_tile_instances
+from .projection import project_gaussians
+
+CHUNK = 256
+_NPIX = TILE * TILE
+_OUTC = 8  # r, g, b, t_final, n_contrib, pad, pad, pad
+
+# Set True (e.g. from tests) to run the kernels in the Pallas interpreter on
+# CPU; the compiled path requires a TPU.
+INTERPRET = False
+
+
+def _lane_cumsum(x, inclusive=True, reverse=False):
+    """Cumulative sum along axis 1 as a triangular matmul (MXU-friendly;
+    lax.cumsum/cumprod do not lower in Pallas TPU kernels)."""
+    n = x.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    if not reverse:
+        m = row <= col if inclusive else row < col
+    else:
+        m = row >= col if inclusive else row > col
+    tri = m.astype(x.dtype)
+    return jax.lax.dot_general(
+        x, tri,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _pixel_coords(ty, tx, dtype=jnp.float32):
+    p = jax.lax.broadcasted_iota(jnp.int32, (_NPIX, 1), 0)
+    row = p // TILE
+    col = p % TILE
+    px = (tx * TILE + col).astype(dtype)
+    py = (ty * TILE + row).astype(dtype)
+    return px, py
+
+
+def _chunk_alpha(data, px, py, lane_mask):
+    """Shared alpha evaluation for a chunk.
+
+    data: (PACKED_ROWS, CHUNK) packed rows; px/py: (NPIX, 1);
+    lane_mask: (1, CHUNK) bool. Returns (a, g_exp, dx, dy, gate).
+    """
+    x = data[0:1, :]
+    y = data[1:2, :]
+    ca = data[2:3, :]
+    cb = data[3:4, :]
+    cc = data[4:5, :]
+    op = data[5:6, :]
+    dx = px - x  # (NPIX, CHUNK)
+    dy = py - y
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    g_exp = jnp.exp(power)
+    alpha = jnp.minimum(ALPHA_MAX, op * g_exp)
+    gate = (power <= 0.0) & (alpha >= ALPHA_MIN) & lane_mask
+    a = jnp.where(gate, alpha, 0.0)
+    return a, g_exp, dx, dy, gate
+
+
+def _fwd_kernel(
+    starts_ref,  # (n_tiles,) int32 scalar-prefetch
+    counts_ref,  # (n_tiles,) int32 scalar-prefetch
+    bg_ref,  # (3,) f32 scalar-prefetch
+    packed_ref,  # (PACKED_ROWS, L) in HBM/ANY
+    out_ref,  # (1, 1, NPIX, OUTC) VMEM block
+    data_vmem,  # (PACKED_ROWS, CHUNK) scratch
+    sem,  # DMA semaphore
+):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    tile_idx = ty * pl.num_programs(1) + tx
+    start = starts_ref[tile_idx]
+    count = counts_ref[tile_idx]
+    n_chunks = pl.cdiv(count, CHUNK)
+
+    px, py = _pixel_coords(ty, tx)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    def body(c, carry):
+        transmittance, rgb, ncon = carry
+
+        copy = pltpu.make_async_copy(
+            packed_ref.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)],
+            data_vmem, sem
+        )
+        copy.start()
+        copy.wait()
+        data = data_vmem[:, :]
+
+        lane_mask = lane < (count - c * CHUNK)
+        a, _, _, _, gate = _chunk_alpha(data, px, py, lane_mask)
+
+        log1m = jnp.log(1.0 - a)  # a <= 0.99 so this is finite
+        p_full = transmittance * jnp.exp(_lane_cumsum(log1m, inclusive=True))
+        p_prev = transmittance * jnp.exp(_lane_cumsum(log1m, inclusive=False))
+        include = p_full >= TRANSMITTANCE_EPS
+        weight = jnp.where(include, a * p_prev, 0.0)  # (NPIX, CHUNK)
+
+        colors = data[6:9, :]  # (3, CHUNK)
+        rgb = rgb + jax.lax.dot_general(
+            weight,
+            colors,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (NPIX, 3)
+
+        contributes = gate & include
+        pos = (c * CHUNK + lane + 1).astype(jnp.float32)  # 1-based
+        ncon = jnp.maximum(
+            ncon, jnp.max(jnp.where(contributes, pos, 0.0), axis=1, keepdims=True)
+        )
+
+        transmittance = jnp.min(
+            jnp.where(include, p_full, transmittance), axis=1, keepdims=True
+        )
+        return transmittance, rgb, ncon
+
+    init = (
+        jnp.ones((_NPIX, 1), jnp.float32),
+        jnp.zeros((_NPIX, 3), jnp.float32),
+        jnp.zeros((_NPIX, 1), jnp.float32),
+    )
+    transmittance, rgb, ncon = jax.lax.fori_loop(0, n_chunks, body, init)
+
+    bg = jnp.stack([bg_ref[0], bg_ref[1], bg_ref[2]])[None, :]
+    rgb = rgb + transmittance * bg
+    out_ref[0, 0, :, :] = jnp.concatenate(
+        [rgb, transmittance, ncon, jnp.zeros((_NPIX, _OUTC - 5), jnp.float32)],
+        axis=1,
+    )
+
+
+def _bwd_kernel(
+    starts_ref,
+    counts_ref,
+    bg_ref,
+    packed_ref,  # ANY
+    fwd_ref,  # (1, 1, NPIX, OUTC) block — forward outputs (T_final, n_contrib)
+    cot_ref,  # (1, 1, NPIX, OUTC) block — output cotangent (g_img in [:3])
+    dpacked_ref,  # (PACKED_ROWS, L) in HBM/ANY — output
+    data_vmem,  # scratch (PACKED_ROWS, CHUNK)
+    dout_vmem,  # scratch (PACKED_ROWS, CHUNK)
+    sem_in,
+    sem_out,
+):
+    ty = pl.program_id(0)
+    tx = pl.program_id(1)
+    tile_idx = ty * pl.num_programs(1) + tx
+    start = starts_ref[tile_idx]
+    count = counts_ref[tile_idx]
+    n_chunks = pl.cdiv(count, CHUNK)
+
+    px, py = _pixel_coords(ty, tx)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+
+    fwd = fwd_ref[0, 0, :, :]  # (NPIX, OUTC)
+    g_img = cot_ref[0, 0, :, 0:3]  # (NPIX, 3)
+    t_final = fwd[:, 3:4]
+    ncon = fwd[:, 4:5]  # float count, 1-based
+    bg = jnp.stack([bg_ref[0], bg_ref[1], bg_ref[2]])[None, :]
+
+    # dL/dT_final from the background term seeds the "color behind" carry.
+    g_dot_ra0 = jnp.sum(g_img * bg, axis=1, keepdims=True) * t_final  # (NPIX,1)
+
+    def body(rev_c, carry):
+        ta, g_dot_ra = carry  # transmittance after chunk, g . (color behind)
+        c = n_chunks - 1 - rev_c
+
+        copy = pltpu.make_async_copy(
+            packed_ref.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)],
+            data_vmem, sem_in
+        )
+        copy.start()
+        copy.wait()
+        data = data_vmem[:, :]
+
+        lane_mask = lane < (count - c * CHUNK)
+        a, g_exp, dx, dy, gate = _chunk_alpha(data, px, py, lane_mask)
+        pos = (c * CHUNK + lane).astype(jnp.float32)  # 0-based
+        mask = gate & (pos < ncon)
+        a = jnp.where(mask, a, 0.0)
+
+        one_minus = jnp.maximum(1.0 - a, 1e-6)
+        # suffix product sp_i = prod_{j>=i} (1 - a_j)
+        sp = jnp.exp(_lane_cumsum(jnp.log(one_minus), inclusive=True, reverse=True))
+        t_i = ta / sp  # (NPIX, CHUNK) transmittance before instance i
+        w = a * t_i
+
+        colors = data[6:9, :]  # (3, CHUNK)
+        gc = jax.lax.dot_general(
+            g_img, colors,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (NPIX, CHUNK) = g_p . c_i
+        contrib = gc * w
+        s = _lane_cumsum(contrib, inclusive=True, reverse=True)
+        g_dot_r = g_dot_ra + s - contrib  # g_p . (color behind instance i)
+
+        da = jnp.where(mask, t_i * gc - g_dot_r / one_minus, 0.0)
+        op = data[5:6, :]
+        d_op = jnp.where(mask, g_exp * da, 0.0)
+        d_power = jnp.where(mask, op * g_exp * da, 0.0)
+
+        ca = data[2:3, :]
+        cb = data[3:4, :]
+        cc_ = data[4:5, :]
+        d_x = d_power * (ca * dx + cb * dy)
+        d_y = d_power * (cc_ * dy + cb * dx)
+        d_ca = d_power * (-0.5 * dx * dx)
+        d_cb = d_power * (-dx * dy)
+        d_cc = d_power * (-0.5 * dy * dy)
+        d_color = jax.lax.dot_general(
+            w, g_img,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (CHUNK, 3)
+
+        zeros = jnp.zeros((1, CHUNK), jnp.float32)
+        rows = [
+            jnp.sum(d_x, axis=0, keepdims=True),
+            jnp.sum(d_y, axis=0, keepdims=True),
+            jnp.sum(d_ca, axis=0, keepdims=True),
+            jnp.sum(d_cb, axis=0, keepdims=True),
+            jnp.sum(d_cc, axis=0, keepdims=True),
+            jnp.sum(d_op, axis=0, keepdims=True),
+            d_color[:, 0][None, :],
+            d_color[:, 1][None, :],
+            d_color[:, 2][None, :],
+        ]
+        rows += [zeros] * (PACKED_ROWS - len(rows))
+        dout_vmem[:, :] = jnp.concatenate(rows, axis=0)
+
+        copy_out = pltpu.make_async_copy(
+            dout_vmem,
+            dpacked_ref.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)],
+            sem_out
+        )
+        copy_out.start()
+        copy_out.wait()
+
+        ta_new = ta / sp[:, 0:1]
+        g_dot_ra_new = g_dot_ra + s[:, 0:1]
+        return ta_new, g_dot_ra_new
+
+    jax.lax.fori_loop(0, n_chunks, body, (t_final, g_dot_ra0))
+
+
+def _tile_spec():
+    return pl.BlockSpec((1, 1, _NPIX, _OUTC), lambda i, j, s, c, b: (i, j, 0, 0))
+
+
+def _composite_fwd_impl(packed, starts, counts, background, grid_hw):
+    gy, gx = grid_hw
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(gy, gx),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=_tile_spec(),
+        scratch_shapes=[
+            pltpu.VMEM((PACKED_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((gy, gx, _NPIX, _OUTC), jnp.float32),
+        interpret=INTERPRET,
+    )(starts, counts, background, packed)
+
+
+def _composite_bwd_impl(packed, starts, counts, background, grid_hw, fwd_out, cot):
+    gy, gx = grid_hw
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(gy, gx),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            _tile_spec(),
+            _tile_spec(),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((PACKED_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((PACKED_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=INTERPRET,
+    )(starts, counts, background, packed, fwd_out, cot)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def composite_tiles(packed, starts, counts, background, grid_hw):
+    """Raw tile-major output (gy, gx, NPIX, OUTC)."""
+    return _composite_fwd_impl(packed, starts, counts, background, grid_hw)
+
+
+def _composite_bwd_real(grid_hw, res, cot):
+    packed, starts, counts, background, fwd_out = res
+    d_packed = _composite_bwd_impl(
+        packed, starts, counts, background, grid_hw, fwd_out, cot
+    )
+    g_img = cot[..., 0:3]
+    t_final = fwd_out[..., 3]
+    d_bg = jnp.einsum("ghpc,ghp->c", g_img, t_final)
+    zero_i = jnp.zeros_like(starts)
+    return d_packed, zero_i, zero_i, d_bg
+
+
+def _composite_fwd_real(packed, starts, counts, background, grid_hw):
+    out = _composite_fwd_impl(packed, starts, counts, background, grid_hw)
+    return out, (packed, starts, counts, background, out)
+
+
+composite_tiles.defvjp(_composite_fwd_real, _composite_bwd_real)
+
+
+def _render_single_pallas(
+    extrinsics, intrinsics, near, far, background,
+    means, covariances, sh, opacities,
+    image_shape, use_sh, max_tiles_per_gaussian,
+):
+    h, w = image_shape
+    fov = get_fov(intrinsics[None])[0]
+    sg = project_gaussians(
+        extrinsics, means, covariances, sh, opacities,
+        jnp.tan(0.5 * fov[0]), jnp.tan(0.5 * fov[1]),
+        image_shape, use_sh,
+    )
+    inst = build_tile_instances(sg, image_shape, max_tiles_per_gaussian, CHUNK)
+    raw = composite_tiles(
+        inst.packed, inst.starts, inst.counts, background, inst.grid_hw
+    )
+    gy, gx = inst.grid_hw
+    image = raw[..., 0:3].reshape(gy, gx, TILE, TILE, 3)
+    image = image.transpose(0, 2, 1, 3, 4).reshape(gy * TILE, gx * TILE, 3)
+    return image[:h, :w]
+
+
+def render_pallas(
+    extrinsics: Array,
+    intrinsics: Array,
+    near: Array,
+    far: Array,
+    image_shape: tuple[int, int],
+    background_color: Array,
+    gaussian_means: Array,
+    gaussian_covariances: Array,
+    gaussian_sh_coefficients: Array,
+    gaussian_opacities: Array,
+    scale_invariant: bool = True,
+    use_sh: bool = True,
+    max_tiles_per_gaussian: int = 16,
+) -> Array:
+    """Batched Pallas render, drop-in for render_oracle."""
+    if scale_invariant:
+        extrinsics, near, far, gaussian_means, gaussian_covariances = (
+            scale_invariant_normalization(
+                extrinsics, near, far, gaussian_means, gaussian_covariances
+            )
+        )
+
+    b = extrinsics.shape[0]
+    images = []
+    for i in range(b):
+        images.append(
+            _render_single_pallas(
+                extrinsics[i], intrinsics[i], near[i], far[i],
+                background_color[i],
+                gaussian_means[i], gaussian_covariances[i],
+                gaussian_sh_coefficients[i], gaussian_opacities[i],
+                image_shape, use_sh, max_tiles_per_gaussian,
+            )
+        )
+    return jnp.stack(images)

@@ -1,0 +1,92 @@
+"""Camera trajectory generation + stabilization (numpy, host-side).
+
+Reference: src/visualization/camera_trajectory/wobble.py,
+interpolation.py (slerp-based pose interpolation), and
+src/misc/stablize_camera.py:9-51 (dynibar-style gaussian smoothing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from scipy.spatial.transform import Rotation, Slerp
+
+
+def generate_wobble_transformation(
+    radius: np.ndarray,  # (*batch,)
+    t: np.ndarray,  # (T,)
+    num_rotations: int = 1,
+    scale_radius_with_t: bool = True,
+) -> np.ndarray:
+    """(*batch, T, 4, 4) image-plane circular translation (wobble.py:8-22)."""
+    radius = np.asarray(radius, np.float32)
+    batch = radius.shape
+    tf = np.broadcast_to(np.eye(4, dtype=np.float32), (*batch, len(t), 4, 4)).copy()
+    r = radius[..., None]
+    if scale_radius_with_t:
+        r = r * t
+    tf[..., 0, 3] = np.sin(2 * np.pi * num_rotations * t) * r
+    tf[..., 1, 3] = -np.cos(2 * np.pi * num_rotations * t) * r
+    return tf
+
+
+def generate_wobble(extrinsics: np.ndarray, radius, t) -> np.ndarray:
+    tf = generate_wobble_transformation(radius, t)
+    return extrinsics[..., None, :, :] @ tf
+
+
+def interpolate_intrinsics(initial, final, t) -> np.ndarray:
+    """Linear intrinsics interpolation (interpolation.py:8-16)."""
+    t = np.asarray(t)[:, None, None]
+    return initial[None] + (final[None] - initial[None]) * t
+
+
+def interpolate_extrinsics(initial, final, t) -> np.ndarray:
+    """Slerp rotation + lerp translation between two c2w poses -> (T, 4, 4)."""
+    t = np.asarray(t, np.float32)
+    rots = Rotation.from_matrix(np.stack([initial[:3, :3], final[:3, :3]]))
+    slerp = Slerp([0.0, 1.0], rots)
+    r = slerp(np.clip(t, 0, 1)).as_matrix()
+    trans = initial[:3, 3][None] + (final[:3, 3] - initial[:3, 3])[None] * t[:, None]
+    out = np.broadcast_to(np.eye(4, dtype=np.float32), (len(t), 4, 4)).copy()
+    out[:, :3, :3] = r
+    out[:, :3, 3] = trans
+    return out
+
+
+def _gaussian_kernel1d(ksize: int) -> np.ndarray:
+    """cv2.getGaussianKernel(ksize, sigma=-1): sigma = 0.3((k-1)/2 - 1) + 0.8."""
+    sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
+    x = np.arange(ksize) - (ksize - 1) / 2
+    k = np.exp(-(x**2) / (2 * sigma**2))
+    return k / k.sum()
+
+
+def _filter_rows(x: np.ndarray, kernel: np.ndarray) -> np.ndarray:
+    """Filter along axis 0 with reflect-101 border (cv2.filter2D default)."""
+    r = (len(kernel) - 1) // 2
+    pad = np.pad(x, ((r, r),) + ((0, 0),) * (x.ndim - 1), mode="reflect")
+    out = np.zeros_like(x, dtype=np.float64)
+    for i, kv in enumerate(kernel):
+        out += kv * pad[i : i + x.shape[0]]
+    return out
+
+
+def render_stabilization_path(poses: np.ndarray, k_size: int = 45) -> np.ndarray:
+    """Gaussian-smooth rotation columns + translation, re-orthogonalized.
+
+    poses: (N, 4, 4) or (N, 3, 4) c2w. Returns (N, 3, 4).
+    """
+    r1 = poses[:, :3, 0]
+    r2 = poses[:, :3, 1]
+    tr = poses[:, :3, 3]
+    kernel = _gaussian_kernel1d(k_size)
+    r1 = _filter_rows(r1, kernel)
+    r2 = _filter_rows(r2, kernel)
+    tr = _filter_rows(tr, kernel)
+    r1 /= np.linalg.norm(r1, axis=-1, keepdims=True)
+    r2 /= np.linalg.norm(r2, axis=-1, keepdims=True)
+    out = []
+    for i in range(len(poses)):
+        r3 = np.cross(r1[i], r2[i])
+        out.append(np.stack([r1[i], r2[i], r3, tr[i]], axis=-1))
+    return np.asarray(out, np.float32)
