@@ -1,0 +1,157 @@
+"""Typed configuration: YAML + CLI dot-overrides -> nested dataclasses.
+
+Replaces the reference's Hydra + dacite stack (config/*.yaml + src/config.py):
+- a RootCfg dataclass tree mirrors the reference's config groups
+- ``load_config(yaml_path, overrides)`` deep-merges YAML and ``a.b.c=value``
+  CLI overrides, then materializes typed dataclasses (dacite-style)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, is_dataclass
+from pathlib import Path
+from typing import Any, get_args, get_origin, get_type_hints
+
+import yaml
+
+from .gaussians import GaussianAdapterCfg
+from .models.decoder import DecoderSplattingCfg
+from .models.encoder import EncoderDepthSplatCfg
+from .train.losses import LossCfg
+from .train.optim import OptimizerCfg
+
+
+@dataclass(frozen=True)
+class DatasetCfg:
+    name: str = "re10k"
+    roots: tuple[str, ...] = ("datasets/re10k",)
+    image_shape: tuple[int, int] = (256, 256)
+    near: float = 1.0
+    far: float = 100.0
+    background_color: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    view_sampler: str = "bounded"
+    view_sampler_args: dict = field(default_factory=dict)
+    augment: bool = True
+    test_chunk_interval: int = 1
+
+
+@dataclass(frozen=True)
+class DataLoaderCfgOuter:
+    batch_size: int = 1
+    seed: int = 1234
+
+
+@dataclass(frozen=True)
+class CheckpointingCfg:
+    every_n_train_steps: int = 5000
+    save_top_k: int = 5
+    resume: bool = False
+    load: str | None = None  # full checkpoint
+    pretrained_model: str | None = None
+    pretrained_monodepth: str | None = None
+    pretrained_depth: str | None = None
+    pretrained_mvdepth: str | None = None
+
+
+@dataclass(frozen=True)
+class TrainerCfg:
+    max_steps: int = 150_000
+    val_check_interval: int = 2000
+    num_nodes: int = 1
+    print_log_every_n_steps: int = 10
+
+
+@dataclass(frozen=True)
+class RootCfg:
+    mode: str = "train"  # train | test
+    seed: int = 111123
+    output_dir: str = "outputs/run"
+    dataset: DatasetCfg = field(default_factory=DatasetCfg)
+    data_loader: DataLoaderCfgOuter = field(default_factory=DataLoaderCfgOuter)
+    encoder: EncoderDepthSplatCfg = field(default_factory=EncoderDepthSplatCfg)
+    decoder: DecoderSplattingCfg = field(default_factory=DecoderSplattingCfg)
+    loss: LossCfg = field(default_factory=LossCfg)
+    optimizer: OptimizerCfg = field(default_factory=OptimizerCfg)
+    checkpointing: CheckpointingCfg = field(default_factory=CheckpointingCfg)
+    trainer: TrainerCfg = field(default_factory=TrainerCfg)
+
+
+def _coerce(value: Any, typ: Any) -> Any:
+    origin = get_origin(typ)
+    if is_dataclass(typ):
+        return _build(typ, value or {})
+    if origin in (tuple,):
+        args = get_args(typ)
+        inner = args[0] if args else Any
+        return tuple(_coerce(v, inner) for v in value)
+    if origin in (list,):
+        inner = get_args(typ)[0] if get_args(typ) else Any
+        return [_coerce(v, inner) for v in value]
+    if typ in (int, float, str, bool):
+        return typ(value)
+    if typ is Path:
+        return Path(value)
+    # Optional[...] and unions: try each member type
+    if origin is not None or str(typ).startswith("typing.Optional"):
+        for member in get_args(typ):
+            if member is type(None):
+                if value is None:
+                    return None
+                continue
+            try:
+                return _coerce(value, member)
+            except (TypeError, ValueError):
+                continue
+    return value
+
+
+def _build(cls, data: dict):
+    hints = get_type_hints(cls)
+    kwargs = {}
+    valid = {f.name for f in fields(cls)}
+    for key, value in (data or {}).items():
+        if key not in valid:
+            raise KeyError(f"Unknown config key {key!r} for {cls.__name__}")
+        kwargs[key] = _coerce(value, hints[key])
+    return cls(**kwargs)
+
+
+def _deep_merge(base: dict, extra: dict) -> dict:
+    out = dict(base)
+    for k, v in extra.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = _deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _parse_override(s: str) -> tuple[list[str], Any]:
+    key, _, raw = s.partition("=")
+    value = yaml.safe_load(raw)
+    return key.split("."), value
+
+
+def load_config(
+    yaml_path: str | Path | None = None,
+    overrides: list[str] | None = None,
+) -> RootCfg:
+    data: dict = {}
+    if yaml_path is not None:
+        with open(yaml_path) as f:
+            data = yaml.safe_load(f) or {}
+    for ov in overrides or []:
+        path, value = _parse_override(ov)
+        node: dict = {}
+        cur = node
+        for p in path[:-1]:
+            cur[p] = {}
+            cur = cur[p]
+        cur[path[-1]] = value
+        data = _deep_merge(data, node)
+    return _build(RootCfg, data)
+
+
+def to_dict(cfg) -> dict:
+    return dataclasses.asdict(cfg)

@@ -53,21 +53,25 @@ INTERPRET = False
 
 
 def _lane_cumsum(x, inclusive=True, reverse=False):
-    """Cumulative sum along axis 1 as a triangular matmul (MXU-friendly;
-    lax.cumsum/cumprod do not lower in Pallas TPU kernels)."""
+    """Cumulative sum along axis 1 as a log2(n)-step doubling scan of exact
+    f32 VPU adds (lax.cumsum/cumprod do not lower in Pallas TPU kernels, and
+    a triangular MXU matmul would run at reduced precision)."""
     n = x.shape[1]
-    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    if not reverse:
-        m = row <= col if inclusive else row < col
-    else:
-        m = row >= col if inclusive else row > col
-    tri = m.astype(x.dtype)
-    return jax.lax.dot_general(
-        x, tri,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    acc = x
+    shift = 1
+    while shift < n:
+        rolled = pltpu.roll(acc, shift, axis=1)
+        acc = acc + jnp.where(lane >= shift, rolled, 0.0)
+        shift *= 2
+    if reverse:
+        total = jnp.sum(x, axis=1, keepdims=True)
+        acc = total - acc + x  # suffix-inclusive
+        if not inclusive:
+            acc = acc - x
+    elif not inclusive:
+        acc = acc - x
+    return acc
 
 
 def _pixel_coords(ty, tx, dtype=jnp.float32):
@@ -140,13 +144,13 @@ def _fwd_kernel(
         include = p_full >= TRANSMITTANCE_EPS
         weight = jnp.where(include, a * p_prev, 0.0)  # (NPIX, CHUNK)
 
-        colors = data[6:9, :]  # (3, CHUNK)
-        rgb = rgb + jax.lax.dot_general(
-            weight,
-            colors,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (NPIX, 3)
+        rgb = rgb + jnp.concatenate(
+            [
+                jnp.sum(weight * data[6 + ch : 7 + ch, :], axis=1, keepdims=True)
+                for ch in range(3)
+            ],
+            axis=1,
+        )  # (NPIX, 3) — exact VPU reductions (thin matmuls lose precision)
 
         contributes = gate & include
         pos = (c * CHUNK + lane + 1).astype(jnp.float32)  # 1-based
@@ -168,10 +172,10 @@ def _fwd_kernel(
 
     bg = jnp.stack([bg_ref[0], bg_ref[1], bg_ref[2]])[None, :]
     rgb = rgb + transmittance * bg
-    out_ref[0, 0, :, :] = jnp.concatenate(
-        [rgb, transmittance, ncon, jnp.zeros((_NPIX, _OUTC - 5), jnp.float32)],
-        axis=1,
-    )
+    out_ref[0, 0, :, 0:3] = rgb
+    out_ref[0, 0, :, 3:4] = transmittance
+    out_ref[0, 0, :, 4:5] = ncon
+    out_ref[0, 0, :, 5:_OUTC] = jnp.zeros((_NPIX, _OUTC - 5), jnp.float32)
 
 
 def _bwd_kernel(
@@ -230,11 +234,10 @@ def _bwd_kernel(
         t_i = ta / sp  # (NPIX, CHUNK) transmittance before instance i
         w = a * t_i
 
-        colors = data[6:9, :]  # (3, CHUNK)
-        gc = jax.lax.dot_general(
-            g_img, colors,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        gc = (
+            g_img[:, 0:1] * data[6:7, :]
+            + g_img[:, 1:2] * data[7:8, :]
+            + g_img[:, 2:3] * data[8:9, :]
         )  # (NPIX, CHUNK) = g_p . c_i
         contrib = gc * w
         s = _lane_cumsum(contrib, inclusive=True, reverse=True)
@@ -253,26 +256,20 @@ def _bwd_kernel(
         d_ca = d_power * (-0.5 * dx * dx)
         d_cb = d_power * (-dx * dy)
         d_cc = d_power * (-0.5 * dy * dy)
-        d_color = jax.lax.dot_general(
-            w, g_img,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (CHUNK, 3)
+        # d_color rows computed directly as exact reductions over pixels
 
-        zeros = jnp.zeros((1, CHUNK), jnp.float32)
-        rows = [
-            jnp.sum(d_x, axis=0, keepdims=True),
-            jnp.sum(d_y, axis=0, keepdims=True),
-            jnp.sum(d_ca, axis=0, keepdims=True),
-            jnp.sum(d_cb, axis=0, keepdims=True),
-            jnp.sum(d_cc, axis=0, keepdims=True),
-            jnp.sum(d_op, axis=0, keepdims=True),
-            d_color[:, 0][None, :],
-            d_color[:, 1][None, :],
-            d_color[:, 2][None, :],
-        ]
-        rows += [zeros] * (PACKED_ROWS - len(rows))
-        dout_vmem[:, :] = jnp.concatenate(rows, axis=0)
+        dout_vmem[0:1, :] = jnp.sum(d_x, axis=0, keepdims=True)
+        dout_vmem[1:2, :] = jnp.sum(d_y, axis=0, keepdims=True)
+        dout_vmem[2:3, :] = jnp.sum(d_ca, axis=0, keepdims=True)
+        dout_vmem[3:4, :] = jnp.sum(d_cb, axis=0, keepdims=True)
+        dout_vmem[4:5, :] = jnp.sum(d_cc, axis=0, keepdims=True)
+        dout_vmem[5:6, :] = jnp.sum(d_op, axis=0, keepdims=True)
+        dout_vmem[6:7, :] = jnp.sum(w * g_img[:, 0:1], axis=0, keepdims=True)
+        dout_vmem[7:8, :] = jnp.sum(w * g_img[:, 1:2], axis=0, keepdims=True)
+        dout_vmem[8:9, :] = jnp.sum(w * g_img[:, 2:3], axis=0, keepdims=True)
+        dout_vmem[9:PACKED_ROWS, :] = jnp.zeros(
+            (PACKED_ROWS - 9, CHUNK), jnp.float32
+        )
 
         copy_out = pltpu.make_async_copy(
             dout_vmem,

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -53,7 +54,8 @@ def project_gaussians(
     rot = w2c[:3, :3]
 
     # View-space position + near cull.
-    t = means @ rot.T + w2c[:3, 3]
+    t = jnp.einsum('gi,ji->gj', means, rot,
+                   precision=jax.lax.Precision.HIGHEST) + w2c[:3, 3]
     tz = t[:, 2]
     in_front = tz > NEAR_CULL_Z
     tz_safe = jnp.where(in_front, tz, 1.0)
@@ -87,8 +89,10 @@ def project_gaussians(
         ],
         axis=-2,
     )  # (G, 2, 3)
-    JR = J @ rot  # (G, 2, 3)
-    cov2d = JR @ covariances @ jnp.swapaxes(JR, -1, -2)  # (G, 2, 2)
+    JR = jnp.einsum('gij,jk->gik', J, rot,
+                    precision=jax.lax.Precision.HIGHEST)  # (G, 2, 3)
+    cov2d = jnp.einsum('gij,gjk,glk->gil', JR, covariances, JR,
+                       precision=jax.lax.Precision.HIGHEST)  # (G, 2, 2)
     a = cov2d[:, 0, 0] + COV2D_DILATION
     b = cov2d[:, 0, 1]
     c = cov2d[:, 1, 1] + COV2D_DILATION

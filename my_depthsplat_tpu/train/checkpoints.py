@@ -1,0 +1,87 @@
+"""Checkpointing: orbax save/restore + the reference's partial-load slots.
+
+Reference behavior replicated (main.py:188-266, resume_ckpt.py:6-21):
+- periodic full checkpoints named by step, latest-checkpoint discovery
+- pretrained_monodepth: load only into encoder depth_predictor (non-strict)
+- pretrained_model: load everything EXCEPT depth-predictor keys (when
+  fine-tuning depth) — implemented as a filtered tree-merge
+- pretrained_depth: strict depth-predictor-only load
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(path: Path, step: int, state: Any) -> None:
+    path = Path(path).absolute()
+    path.mkdir(exist_ok=True, parents=True)
+    ckpt = ocp.StandardCheckpointer()
+    ckpt.save(path / f"step_{step}", state)
+    ckpt.wait_until_finished()
+
+
+def find_latest_checkpoint(path: Path) -> Path | None:
+    """Scan step-named checkpoints, return the newest (resume_ckpt.py:6-21)."""
+    path = Path(path)
+    if not path.exists():
+        return None
+    best, best_step = None, -1
+    for p in path.iterdir():
+        m = re.fullmatch(r"step_(\d+)", p.name)
+        if m and int(m.group(1)) > best_step:
+            best, best_step = p, int(m.group(1))
+    return best
+
+
+def restore_checkpoint(path: Path, target: Any) -> Any:
+    ckpt = ocp.StandardCheckpointer()
+    return ckpt.restore(Path(path).absolute(), target)
+
+
+def _merge_filtered(params: Any, loaded: Any, keep_fn) -> Any:
+    """Replace leaves of ``params`` with ``loaded`` where keep_fn(path)."""
+    flat_p = jax.tree_util.tree_flatten_with_path(params)
+    flat_l = dict(jax.tree_util.tree_flatten_with_path(loaded)[0])
+    out = []
+    for path, leaf in flat_p[0]:
+        if keep_fn(path) and path in flat_l:
+            out.append(flat_l[path])
+        else:
+            out.append(leaf)
+    return jax.tree_util.tree_unflatten(flat_p[1], out)
+
+
+def _path_contains(path, name: str) -> bool:
+    return any(name in str(k) for k in path)
+
+
+def load_pretrained_monodepth(params: Any, loaded: Any) -> Any:
+    """Only the depth predictor's pretrained (ViT) weights (main.py:191-211)."""
+    return _merge_filtered(
+        params, loaded, lambda p: _path_contains(p, "depth_predictor")
+    )
+
+
+def load_pretrained_model(
+    params: Any, loaded: Any, skip_depth_predictor: bool = False
+) -> Any:
+    """Full model load, optionally dropping encoder.depth_predictor.* keys
+    (main.py:213-246)."""
+    if not skip_depth_predictor:
+        return _merge_filtered(params, loaded, lambda p: True)
+    return _merge_filtered(
+        params, loaded, lambda p: not _path_contains(p, "depth_predictor")
+    )
+
+
+def load_pretrained_depth(params: Any, loaded: Any) -> Any:
+    """Strict depth-branch-only load (main.py:248-266)."""
+    return _merge_filtered(
+        params, loaded, lambda p: _path_contains(p, "depth_predictor")
+    )
