@@ -41,7 +41,10 @@ def _composite_chunk(
     tile_xy = (pix_xy // TILE).astype(jnp.int32)  # (P, 2)
 
     def body(carry, blk):
-        transmittance, rgb = carry  # (P,), (P, 3)
+        # p_raw: unfrozen running product (sticky termination across blocks,
+        # matching CUDA's per-pixel done flag); t_frozen: transmittance at the
+        # last included gaussian (background compositing).
+        p_raw, t_frozen, rgb = carry  # (P,), (P,), (P, 3)
         xy, conic, color, opacity, rmin, rmax, valid = blk
 
         d = pix_xy[:, None, :] - xy[None, :, :]  # (P, Gb, 2)
@@ -62,28 +65,32 @@ def _composite_chunk(
         a = jnp.where(gate, alpha, 0.0)
 
         # Running transmittance with the 1e-4 early-termination rule:
-        # a gaussian is composited iff the transmittance *after* it stays
-        # >= eps; once violated, nothing later composites (prefix property).
+        # a gaussian is composited iff the raw product *after* it stays
+        # >= eps; the raw product is monotone, so termination is sticky.
         p_within = jnp.cumprod(1.0 - a, axis=1)  # (P, Gb)
-        p_full = transmittance[:, None] * p_within
-        p_prev = transmittance[:, None] * jnp.concatenate(
+        p_full = p_raw[:, None] * p_within
+        p_prev = p_raw[:, None] * jnp.concatenate(
             [jnp.ones((p, 1), a.dtype), p_within[:, :-1]], axis=1
         )
         include = p_full >= TRANSMITTANCE_EPS
         weight = jnp.where(include, a * p_prev, 0.0)
         rgb = rgb + weight @ color  # (P, 3)
-        # New transmittance = last included p_full (p_full is non-increasing).
-        transmittance = jnp.min(
-            jnp.where(include, p_full, transmittance[:, None]), axis=1
+        # Frozen transmittance = last included p_full (non-increasing).
+        t_frozen = jnp.min(
+            jnp.where(include, p_full, t_frozen[:, None]), axis=1
         )
-        return (transmittance, rgb), None
+        return (p_full[:, -1], t_frozen, rgb), None
 
     blocks = jax.tree.map(
         lambda x: x.reshape((n_blocks, block) + x.shape[1:]),
         (sg.xy, sg.conic, sg.color, sg.opacity, sg.rect_min, sg.rect_max, sg.valid),
     )
-    init = (jnp.ones((p,), pix_xy.dtype), jnp.zeros((p, 3), pix_xy.dtype))
-    (transmittance, rgb), _ = jax.lax.scan(body, init, blocks)
+    init = (
+        jnp.ones((p,), pix_xy.dtype),
+        jnp.ones((p,), pix_xy.dtype),
+        jnp.zeros((p, 3), pix_xy.dtype),
+    )
+    (_, transmittance, rgb), _ = jax.lax.scan(body, init, blocks)
     return rgb + transmittance[:, None] * background[None, :]
 
 

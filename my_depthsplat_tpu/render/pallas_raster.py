@@ -125,7 +125,12 @@ def _fwd_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
     def body(c, carry):
-        transmittance, rgb, ncon = carry
+        # p_raw: the UNfrozen running product over all alpha-gated lanes —
+        # monotone decreasing forever, so the >= eps include test is sticky
+        # across chunk boundaries exactly like CUDA's per-pixel `done` flag.
+        # t_frozen: transmittance frozen at the last included lane (what the
+        # background composites against).
+        p_raw, t_frozen, rgb, ncon = carry
 
         copy = pltpu.make_async_copy(
             packed_ref.at[:, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)],
@@ -139,8 +144,8 @@ def _fwd_kernel(
         a, _, _, _, gate = _chunk_alpha(data, px, py, lane_mask)
 
         log1m = jnp.log(1.0 - a)  # a <= 0.99 so this is finite
-        p_full = transmittance * jnp.exp(_lane_cumsum(log1m, inclusive=True))
-        p_prev = transmittance * jnp.exp(_lane_cumsum(log1m, inclusive=False))
+        p_full = p_raw * jnp.exp(_lane_cumsum(log1m, inclusive=True))
+        p_prev = p_raw * jnp.exp(_lane_cumsum(log1m, inclusive=False))
         include = p_full >= TRANSMITTANCE_EPS
         weight = jnp.where(include, a * p_prev, 0.0)  # (NPIX, CHUNK)
 
@@ -158,17 +163,19 @@ def _fwd_kernel(
             ncon, jnp.max(jnp.where(contributes, pos, 0.0), axis=1, keepdims=True)
         )
 
-        transmittance = jnp.min(
-            jnp.where(include, p_full, transmittance), axis=1, keepdims=True
+        t_frozen = jnp.min(
+            jnp.where(include, p_full, t_frozen), axis=1, keepdims=True
         )
-        return transmittance, rgb, ncon
+        p_raw = p_full[:, -1:]
+        return p_raw, t_frozen, rgb, ncon
 
     init = (
+        jnp.ones((_NPIX, 1), jnp.float32),
         jnp.ones((_NPIX, 1), jnp.float32),
         jnp.zeros((_NPIX, 3), jnp.float32),
         jnp.zeros((_NPIX, 1), jnp.float32),
     )
-    transmittance, rgb, ncon = jax.lax.fori_loop(0, n_chunks, body, init)
+    _, transmittance, rgb, ncon = jax.lax.fori_loop(0, n_chunks, body, init)
 
     bg = jnp.stack([bg_ref[0], bg_ref[1], bg_ref[2]])[None, :]
     rgb = rgb + transmittance * bg

@@ -89,6 +89,35 @@ def test_pallas_matches_oracle_forward():
     )
 
 
+def test_deep_stack_sticky_termination():
+    """Regression: many overlapping high-opacity gaussians spanning several
+    256-instance chunks. The termination must be sticky across chunk
+    boundaries (raw-product carry); a frozen-T carry resurrects gaussians and
+    inflates gradients by orders of magnitude."""
+    args, (h, w) = random_scene(1200, seed=7, h=32, w=32)
+    extr, intr, near, far, bg, means, cov, sh, opac = args
+    # concentrate gaussians so single tiles see deep stacks
+    means = means.at[..., 0:2].multiply(0.3)
+    opac = jnp.clip(opac * 1.3, 0.2, 0.95)
+
+    img_o = render_oracle(extr, intr, near, far, (h, w), bg, means, cov, sh, opac)
+    img_p = pallas_raster.render_pallas(
+        extr, intr, near, far, (h, w), bg, means, cov, sh, opac
+    )
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_o), atol=5e-4)
+
+    def loss(renderer, o):
+        img = renderer(extr, intr, near, far, (h, w), bg, means, cov, sh, o)
+        return jnp.sum(img**2)
+
+    go = jax.grad(lambda o: loss(render_oracle, o))(opac)
+    gp = jax.grad(lambda o: loss(pallas_raster.render_pallas, o))(opac)
+    scale = np.abs(np.asarray(go)).max()
+    np.testing.assert_allclose(
+        np.asarray(gp) / scale, np.asarray(go) / scale, atol=1e-4
+    )
+
+
 def test_pallas_matches_oracle_gradients():
     args, (h, w) = random_scene(120, seed=3)
     extr, intr, near, far, bg, means, cov, sh, opac = args
