@@ -27,7 +27,18 @@ BASELINE_MPIX_S = 12 * 512 * 960 / 0.6 / 1e6  # 9.83 Mpix/s (A100 headline)
 
 
 def main() -> None:
-    from my_depthsplat_tpu.render import render
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu":
+        from functools import partial
+
+        from my_depthsplat_tpu.render.pallas_raster import render_pallas
+
+        # Average tiles/gaussian in this scene is ~3.4; 8x leaves headroom
+        # while halving the instance-layout arrays.
+        render = partial(render_pallas, instance_budget=8 * 2 * 256 * 256)
+    else:
+        from my_depthsplat_tpu.render import render
 
     h = w = 256
     n_views = 2

@@ -373,7 +373,7 @@ composite_tiles.defvjp(_composite_fwd_real, _composite_bwd_real)
 def _render_single_pallas(
     extrinsics, intrinsics, near, far, background,
     means, covariances, sh, opacities,
-    image_shape, use_sh, max_tiles_per_gaussian,
+    image_shape, use_sh, max_tiles_per_gaussian, instance_budget,
 ):
     h, w = image_shape
     fov = get_fov(intrinsics[None])[0]
@@ -382,7 +382,9 @@ def _render_single_pallas(
         jnp.tan(0.5 * fov[0]), jnp.tan(0.5 * fov[1]),
         image_shape, use_sh,
     )
-    inst = build_tile_instances(sg, image_shape, max_tiles_per_gaussian, CHUNK)
+    inst = build_tile_instances(
+        sg, image_shape, max_tiles_per_gaussian, CHUNK, instance_budget
+    )
     raw = composite_tiles(
         inst.packed, inst.starts, inst.counts, background, inst.grid_hw
     )
@@ -406,6 +408,7 @@ def render_pallas(
     scale_invariant: bool = True,
     use_sh: bool = True,
     max_tiles_per_gaussian: int = 16,
+    instance_budget: int | None = None,
 ) -> Array:
     """Batched Pallas render, drop-in for render_oracle."""
     if scale_invariant:
@@ -424,7 +427,7 @@ def render_pallas(
                 background_color[i],
                 gaussian_means[i], gaussian_covariances[i],
                 gaussian_sh_coefficients[i], gaussian_opacities[i],
-                image_shape, use_sh, max_tiles_per_gaussian,
+                image_shape, use_sh, max_tiles_per_gaussian, instance_budget,
             )
         )
     return jnp.stack(images)
