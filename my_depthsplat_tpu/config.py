@@ -34,6 +34,8 @@ class DatasetCfg:
     view_sampler_args: dict = field(default_factory=dict)
     augment: bool = True
     test_chunk_interval: int = 1
+    # Raw frame shape sanity check (dataset_re10k.py:158-171); None disables.
+    expected_shape: tuple[int, int] | None = None
 
 
 @dataclass(frozen=True)
@@ -58,6 +60,11 @@ class CheckpointingCfg:
 class TrainerCfg:
     max_steps: int = 150_000
     val_check_interval: int = 2000
+    # Periodic full-test evaluation during training (reference
+    # model_wrapper.py:775-930); 0 disables. Runs on the test split with the
+    # frozen evaluation protocol and logs test/psnr.
+    test_eval_interval: int = 0
+    test_eval_max_scenes: int = 32
     num_nodes: int = 1
     print_log_every_n_steps: int = 10
 

@@ -57,8 +57,10 @@ def data_loader(
         )
         rng = np.random.default_rng(seed)
         buf: list[dict] = []
+        produced = 0
         for example in dataset.examples(rng, global_step):
             buf.append(example)
+            produced += 1
             if len(buf) == cfg.batch_size:
                 yield batch_examples(buf)
                 buf = []
@@ -66,4 +68,9 @@ def data_loader(
             if buf:
                 yield batch_examples(buf)
             return
+        if produced == 0:
+            raise RuntimeError(
+                "dataset produced no examples this epoch — check shape filters "
+                "(expected_shape), view-sampler distances, and data roots"
+            )
         epoch += 1

@@ -31,6 +31,10 @@ class TestCfg:
     save_image: bool = True
     save_depth: bool = False
     compute_scores: bool = True
+    save_gaussians: bool = False  # 3DGS .ply per scene
+    save_video: bool = False  # interpolated-trajectory video per scene
+    stabilize_camera: bool = False  # smooth the video path (dynibar-style)
+    video_frames: int = 60
 
 
 def run_test(
@@ -90,6 +94,25 @@ def run_test(
                     cfg.output_dir / scene / f"color/{i:04d}.png",
                 )
 
+        if cfg.save_depth and out.get("depths") is not None:
+            from ..utils.vis_depth import viz_depth
+
+            depths = np.asarray(out["depths"])
+            for i in range(depths.shape[1]):
+                save_image(
+                    viz_depth(depths[0, i]),
+                    cfg.output_dir / scene / f"depth/{i:04d}.png",
+                )
+                np.save(
+                    cfg.output_dir / scene / f"depth/{i:04d}.npy", depths[0, i]
+                )
+
+        if cfg.save_gaussians and "per_view" in out:
+            _save_scene_ply(cfg, out["per_view"], batch, scene)
+
+        if cfg.save_video:
+            _render_trajectory_video(cfg, decoder_cfg, gaussians, batch, scene)
+
     out_dir = Path(cfg.output_dir)
     out_dir.mkdir(exist_ok=True, parents=True)
     if cfg.compute_scores and names:
@@ -109,3 +132,92 @@ def run_test(
         "scores": {k: float(np.mean(v)) for k, v in scores.items() if v},
         "timing": summary,
     }
+
+
+def _save_scene_ply(cfg: TestCfg, per_view, batch, scene: str) -> None:
+    """Export the first prediction's gaussians as a 3DGS ply with the
+    reference's 8-pixel border trim (ply_export.py:66-115)."""
+    from scipy.spatial.transform import Rotation
+
+    from ..utils.ply_export import export_ply
+
+    trim = 8
+    # per_view arrays are (B', V, HW, srf, spp, ...): take batch 0, flatten.
+    b_sel = 0
+    v = per_view.means.shape[1]
+    h, w = batch["context"]["image"].shape[2:4]
+
+    def trim_mask():
+        m = np.zeros((h, w), bool)
+        m[trim:-trim, trim:-trim] = True
+        return m.reshape(-1)
+
+    mask = trim_mask()
+    means = np.asarray(per_view.means[b_sel, :, :, 0, 0]).reshape(v, h * w, 3)[
+        :, mask
+    ].reshape(-1, 3)
+    scales = np.asarray(per_view.scales[b_sel, :, :, 0, 0]).reshape(v, h * w, 3)[
+        :, mask
+    ].reshape(-1, 3)
+    quats = np.asarray(per_view.rotations[b_sel, :, :, 0, 0]).reshape(v, h * w, 4)[
+        :, mask
+    ].reshape(-1, 4)
+    harmonics = np.asarray(per_view.harmonics[b_sel, :, :, 0, 0]).reshape(
+        v, h * w, 3, -1
+    )[:, mask].reshape(-1, 3, per_view.harmonics.shape[-1])
+    opac = np.asarray(per_view.opacities[b_sel, :, :, 0, 0]).reshape(v, h * w)[
+        :, mask
+    ].reshape(-1)
+
+    # camera-frame quats -> world frame per source view (reference :87-105)
+    extr = np.asarray(batch["context"]["extrinsics"])[0]  # (V, 4, 4)
+    rot_m = Rotation.from_quat(quats).as_matrix().reshape(v, -1, 3, 3)
+    world = np.einsum("vij,vnjk->vnik", extr[:, :3, :3], rot_m)
+    world_q = Rotation.from_matrix(world.reshape(-1, 3, 3)).as_quat()
+
+    export_ply(
+        extr[0], means, scales, world_q, harmonics, opac,
+        Path(cfg.output_dir) / scene / "gaussians.ply",
+    )
+
+
+def _render_trajectory_video(cfg: TestCfg, decoder_cfg, gaussians, batch,
+                             scene: str) -> None:
+    """Interpolated context->context trajectory video, optionally smoothed
+    (model_wrapper.py:932-1102 + stablize_camera hook :436-453)."""
+    from ..utils.camera_path import (
+        interpolate_extrinsics,
+        interpolate_intrinsics,
+        render_stabilization_path,
+    )
+    from ..utils.image_io import save_video
+
+    extr = np.asarray(batch["context"]["extrinsics"])[0]
+    intr = np.asarray(batch["context"]["intrinsics"])[0]
+    t = np.linspace(0, 1, cfg.video_frames).astype(np.float32)
+    poses = interpolate_extrinsics(extr[0], extr[-1], t)
+    if cfg.stabilize_camera:
+        smoothed = render_stabilization_path(poses, k_size=min(45, len(poses) | 1))
+        poses4 = np.tile(np.eye(4, dtype=np.float32), (len(poses), 1, 1))
+        poses4[:, :3, :] = smoothed
+        poses = poses4
+    intrs = interpolate_intrinsics(intr[0], intr[-1], t)
+
+    h, w = batch["target"]["image"].shape[2:4]
+    near = float(batch["context"]["near"][0, 0])
+    far = float(batch["context"]["far"][0, 0])
+    frames = []
+    chunk = cfg.render_chunk_size or 10
+    for lo in range(0, len(t), chunk):
+        hi = min(lo + chunk, len(t))
+        dec = decode_splatting(
+            decoder_cfg,
+            gaussians,
+            jnp.asarray(poses[None, lo:hi]),
+            jnp.asarray(intrs[None, lo:hi]),
+            jnp.full((1, hi - lo), near),
+            jnp.full((1, hi - lo), far),
+            (h, w),
+        )
+        frames.extend(np.asarray(dec.color[0]))
+    save_video(frames, Path(cfg.output_dir) / scene / "video.mp4")

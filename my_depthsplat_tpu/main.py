@@ -41,6 +41,11 @@ def build_dataset(cfg: RootCfg, stage: str, host_id: int = 0, num_hosts: int = 1
         far=cfg.dataset.far,
         augment=cfg.dataset.augment,
         test_chunk_interval=cfg.dataset.test_chunk_interval,
+        expected_shape=(
+            tuple(cfg.dataset.expected_shape)
+            if cfg.dataset.expected_shape is not None
+            else None
+        ),
     )
     return DatasetRE10k(ds_cfg, stage, sampler, host_id, num_hosts)
 
@@ -93,6 +98,9 @@ def train(cfg: RootCfg) -> None:
             print(f"resuming from {latest}")
             start_step = int(latest.name.split("_")[1])
 
+    from .utils.logger import LocalLogger
+
+    logger = LocalLogger(out_dir, run_name=out_dir.name) if host_id == 0 else None
     loader = data_loader(dataset, loader_cfg, "train", global_step=start_step)
     log_every = cfg.trainer.print_log_every_n_steps
     t_last = time.time()
@@ -117,12 +125,98 @@ def train(cfg: RootCfg) -> None:
             t_last = time.time()
             msg = ", ".join(f"{k}={float(v):.4f}" for k, v in sorted(logs.items()))
             print(f"step {gstep}: {msg} ({dt:.3f}s/it)", flush=True)
+            if logger is not None:
+                logger.log_scalars(gstep, {**logs, "perf/s_per_it": dt})
+        if (
+            gstep % cfg.trainer.val_check_interval == 0
+            and logger is not None
+        ):
+            _log_validation_panel(cfg, state, batch, gstep, logger)
+        if (
+            cfg.trainer.test_eval_interval > 0
+            and gstep % cfg.trainer.test_eval_interval == 0
+            and host_id == 0
+        ):
+            _run_periodic_test_eval(cfg, state, gstep, logger)
         if gstep % cfg.checkpointing.every_n_train_steps == 0 and host_id == 0:
             save_checkpoint(out_dir / "checkpoints", gstep, state)
         if gstep >= cfg.trainer.max_steps:
             break
     if host_id == 0 and state is not None:
         save_checkpoint(out_dir / "checkpoints", int(state.step), state)
+    if logger is not None:
+        logger.close()
+
+
+def _run_periodic_test_eval(cfg, state, step, logger) -> None:
+    """Full-test eval with the current weights (model_wrapper.py:775-930):
+    iterate the test split, render, and log test/psnr — rank zero only."""
+    import itertools
+
+    from .eval.runner import TestCfg, run_test
+    from .models import EncoderDepthSplat
+
+    try:
+        encoder = EncoderDepthSplat(cfg.encoder)
+        dataset = build_dataset(cfg, "test")
+        loader = data_loader(
+            dataset, DataLoaderCfg(batch_size=1, seed=cfg.data_loader.seed),
+            "test",
+        )
+        batches = (
+            {**b, **jax_batch(b)}
+            for b in itertools.islice(loader, cfg.trainer.test_eval_max_scenes)
+        )
+        apply = jax.jit(
+            lambda context: encoder.apply(state.params, context, training=False)
+        )
+        result = run_test(
+            TestCfg(
+                output_dir=Path(cfg.output_dir) / f"test_step{step}",
+                save_image=False,
+            ),
+            apply,
+            batches,
+            decoder_cfg=cfg.decoder,
+        )
+        print(f"[test eval @ {step}] {result['scores']}", flush=True)
+        if logger is not None and result["scores"]:
+            logger.log_scalars(
+                step, {f"test/{k}": v for k, v in result["scores"].items()}
+            )
+    except Exception as e:  # periodic eval must never kill training
+        print(f"periodic test eval failed: {e}")
+
+
+def _log_validation_panel(cfg, state, batch, step, logger) -> None:
+    """Side-by-side GT vs render of the first batch element (the analog of the
+    reference's wandb comparison panels, model_wrapper.py:727-766)."""
+    import numpy as np
+
+    from .models import EncoderDepthSplat, decode_splatting
+    from .utils.layout import add_border, hcat, vcat
+
+    try:
+        encoder = EncoderDepthSplat(cfg.encoder)
+        jb = jax_batch(batch)
+        ctx = jax.tree.map(lambda x: x[:1], jb["context"])
+        tgt = jax.tree.map(lambda x: x[:1], jb["target"])
+        out = encoder.apply(state.params, ctx, training=False)
+        gaussians = out["gaussians"]
+        b_eff = gaussians.means.shape[0]
+        gaussians = jax.tree.map(lambda x: x[-1:], gaussians)
+        h, w = tgt["image"].shape[2:4]
+        dec = decode_splatting(
+            cfg.decoder, gaussians, tgt["extrinsics"], tgt["intrinsics"],
+            tgt["near"], tgt["far"], (h, w),
+        )
+        gt_row = hcat(*[np.asarray(tgt["image"][0, i]) for i in
+                        range(tgt["image"].shape[1])])
+        pr_row = hcat(*[np.asarray(dec.color[0, i]) for i in
+                        range(dec.color.shape[1])])
+        logger.log_image(step, "val/comparison", add_border(vcat(gt_row, pr_row)))
+    except Exception as e:  # visualization must never kill training
+        print(f"validation panel failed: {e}")
 
 
 def test(cfg: RootCfg) -> None:

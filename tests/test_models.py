@@ -116,6 +116,7 @@ def test_vit_intermediate_layers_and_pos_interp():
 
 
 @pytest.mark.parametrize("branch", ["unimatch", "promptda"])
+@pytest.mark.slow
 def test_encoder_end_to_end(branch):
     cfg = EncoderDepthSplatCfg(
         depth_branch=branch,
@@ -157,6 +158,7 @@ def test_encoder_end_to_end(branch):
     assert np.isfinite(np.asarray(dec.color)).all()
 
 
+@pytest.mark.slow
 def test_encoder_multiscale_intermediate_supervision():
     cfg = EncoderDepthSplatCfg(
         depth_branch="unimatch",

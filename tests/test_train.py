@@ -95,6 +95,7 @@ def make_batch(b=1, h=32, w=32, seed=0):
     }
 
 
+@pytest.mark.slow
 def test_train_step_reduces_loss():
     cfg = _tiny_train_cfg()
     init_fn, train_step = make_train_step(cfg)
@@ -110,6 +111,7 @@ def test_train_step_reduces_loss():
     assert int(state.step) == 4
 
 
+@pytest.mark.slow
 def test_train_step_data_parallel_8_devices():
     """Same step, batch sharded over the 8-device data axis; jit inserts the
     gradient reduction. Losses must match the single-device value."""
