@@ -36,7 +36,7 @@ def main() -> None:
 
         # Average tiles/gaussian in this scene is ~3.4; 8x leaves headroom
         # while halving the instance-layout arrays.
-        render = partial(render_pallas, instance_budget=8 * 2 * 256 * 256)
+        render = partial(render_pallas, instance_budget=8 * 256 * 256)
     else:
         from my_depthsplat_tpu.render import render
 

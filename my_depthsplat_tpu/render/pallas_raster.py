@@ -40,7 +40,7 @@ from .camera import (
     TRANSMITTANCE_EPS,
     scale_invariant_normalization,
 )
-from .instances import PACKED_ROWS, build_tile_instances
+from .instances import PACKED_ROWS, build_tile_instances_batched
 from .projection import project_gaussians
 
 CHUNK = 256
@@ -135,7 +135,7 @@ def _fwd_kernel(
 
         copy = pltpu.make_async_copy(
             packed_ref.at[
-                bb, :, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)
+                :, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)
             ],
             data_vmem, sem
         )
@@ -231,7 +231,7 @@ def _bwd_kernel(
 
         copy = pltpu.make_async_copy(
             packed_ref.at[
-                bb, :, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)
+                :, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)
             ],
             data_vmem, sem_in
         )
@@ -291,7 +291,7 @@ def _bwd_kernel(
         copy_out = pltpu.make_async_copy(
             dout_vmem,
             dpacked_ref.at[
-                bb, :, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)
+                :, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)
             ],
             sem_out
         )
@@ -312,9 +312,9 @@ def _tile_spec():
 
 
 def _composite_fwd_impl(packed, starts, counts, background, grid_hw):
-    """packed (B, ROWS, L); starts/counts (B, T); background (B, 3)."""
-    b = packed.shape[0]
-    gy, gx = grid_hw
+    """packed (ROWS, L_total); starts/counts (B*T,) with global offsets;
+    background (B, 3); grid_hw = (B, gy, gx)."""
+    b, gy, gx = grid_hw
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, gy, gx),
@@ -334,8 +334,7 @@ def _composite_fwd_impl(packed, starts, counts, background, grid_hw):
 
 
 def _composite_bwd_impl(packed, starts, counts, background, grid_hw, fwd_out, cot):
-    b = packed.shape[0]
-    gy, gx = grid_hw
+    b, gy, gx = grid_hw
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, gy, gx),
@@ -364,7 +363,7 @@ def _composite_bwd_impl(packed, starts, counts, background, grid_hw, fwd_out, co
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def composite_tiles(packed, starts, counts, background, grid_hw):
-    """Raw tile-major output (B, gy, gx, NPIX, OUTC)."""
+    """Raw tile-major output (B, gy, gx, NPIX, OUTC); grid_hw = (B, gy, gx)."""
     return _composite_fwd_impl(packed, starts, counts, background, grid_hw)
 
 
@@ -420,26 +419,26 @@ def render_pallas(
     h, w = image_shape
     fovs = get_fov(intrinsics)  # (B, 2)
 
-    def prep(e, k, fov, m, c, s, o):
-        sg = project_gaussians(
+    def proj_one(e, k, fov, m, c, s, o):
+        return project_gaussians(
             e, m, c, s, o,
             jnp.tan(0.5 * fov[0]), jnp.tan(0.5 * fov[1]),
             image_shape, use_sh,
         )
-        inst = build_tile_instances(
-            sg, image_shape, max_tiles_per_gaussian, CHUNK, instance_budget
-        )
-        # only array fields survive vmap (grid_hw is static)
-        return inst.packed, inst.starts, inst.counts
 
-    packed, starts, counts = jax.vmap(prep)(
+    sg = jax.vmap(proj_one)(
         extrinsics, intrinsics, fovs,
         gaussian_means, gaussian_covariances,
         gaussian_sh_coefficients, gaussian_opacities,
     )
-    gy, gx = (h + TILE - 1) // TILE, (w + TILE - 1) // TILE
-    raw = composite_tiles(packed, starts, counts, background_color, (gy, gx))
+    inst = build_tile_instances_batched(
+        sg, image_shape, max_tiles_per_gaussian, CHUNK, instance_budget
+    )
     b = extrinsics.shape[0]
+    gy, gx = (h + TILE - 1) // TILE, (w + TILE - 1) // TILE
+    raw = composite_tiles(
+        inst.packed, inst.starts, inst.counts, background_color, (b, gy, gx)
+    )
     image = raw[..., 0:3].reshape(b, gy, gx, TILE, TILE, 3)
     image = image.transpose(0, 1, 3, 2, 4, 5).reshape(b, gy * TILE, gx * TILE, 3)
     return image[:, :h, :w]
