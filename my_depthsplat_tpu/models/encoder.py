@@ -53,6 +53,7 @@ class EncoderDepthSplatCfg:
     multiview_trans_attn_split: int = 2
     monodepth_vit_type: str = "vits"
     local_mv_match: int = 2
+    spmd_depth_axis: str | None = None  # shard plane-sweep hypotheses (mesh axis)
     shim_patch_size: int = 4
     downscale_factor: int = 4
 
@@ -112,6 +113,7 @@ class EncoderDepthSplat(nn.Module):
                 unet_channels=cfg.costvolume_unet_feat_dim,
                 unet_channel_mult=tuple(cfg.costvolume_unet_channel_mult),
                 unet_attn_resolutions=tuple(cfg.costvolume_unet_attn_res),
+                spmd_depth_axis=cfg.spmd_depth_axis,
                 name="depth_predictor",
             )(
                 images,

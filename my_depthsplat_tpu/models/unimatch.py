@@ -67,6 +67,11 @@ class MultiViewUniMatch(nn.Module):
     unet_channel_mult: tuple[int, ...] = (1, 1, 1)
     unet_num_res_blocks: int = 1
     unet_attn_resolutions: tuple[int, ...] = (4,)
+    # When set (a mesh axis name, used inside jax.sharding.use_mesh), the
+    # plane-sweep depth-candidate axis is sharded over that axis: each chip
+    # warps and correlates a slice of the D hypotheses (SURVEY.md §2.4 — the
+    # cost volume is the natural ICI-sharded dimension).
+    spmd_depth_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -213,12 +218,24 @@ class MultiViewUniMatch(nn.Module):
             # (mv_unimatch:477-490 passes the ref view's K into the warp).
             intr_rep = jnp.broadcast_to(intr_s[:, :, None], (b, v, m, 3, 3))
 
+            if self.spmd_depth_axis is not None:
+                from jax.sharding import PartitionSpec as _P
+
+                cand_rep = jax.lax.with_sharding_constraint(
+                    cand_rep, _P(None, None, None, self.spmd_depth_axis)
+                )
             warped = warp_with_pose_depth_candidates(
                 src_feats.reshape(b * v * m, hs, ws, c),
                 intr_rep.reshape(b * v * m, 3, 3),
                 rel_pose.reshape(b * v * m, 4, 4),
                 1.0 / cand_rep.reshape(b * v * m, num_d, hs, ws),
             ).reshape(b, v, m, num_d, hs, ws, c)
+            if self.spmd_depth_axis is not None:
+                from jax.sharding import PartitionSpec as _P
+
+                warped = jax.lax.with_sharding_constraint(
+                    warped, _P(None, None, None, self.spmd_depth_axis)
+                )
 
             # correlation / sqrt(C), mean over source views (mv_unimatch:500-505)
             cost = (

@@ -53,6 +53,36 @@ def interpolate_extrinsics(initial, final, t) -> np.ndarray:
     return out
 
 
+def generate_spin(
+    num_frames: int,
+    elevation_deg: float,
+    radius: float,
+    target: np.ndarray | None = None,
+) -> np.ndarray:
+    """(T, 4, 4) c2w poses orbiting the target at a fixed elevation
+    (reference: src/visualization/camera_trajectory/spin.py:9-37)."""
+    target = np.zeros(3) if target is None else np.asarray(target, np.float64)
+    el = np.radians(elevation_deg)
+    poses = []
+    for t in np.linspace(0, 2 * np.pi, num_frames, endpoint=False):
+        position = target + radius * np.array(
+            [np.cos(t) * np.cos(el), np.sin(el), np.sin(t) * np.cos(el)]
+        )
+        forward = target - position
+        forward = forward / np.linalg.norm(forward)
+        up = np.array([0.0, -1.0, 0.0])
+        right = np.cross(up, forward)
+        right = right / np.linalg.norm(right)
+        down = np.cross(forward, right)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 0] = right
+        m[:3, 1] = down
+        m[:3, 2] = forward
+        m[:3, 3] = position
+        poses.append(m)
+    return np.stack(poses)
+
+
 def _gaussian_kernel1d(ksize: int) -> np.ndarray:
     """cv2.getGaussianKernel(ksize, sigma=-1): sigma = 0.3((k-1)/2 - 1) + 0.8."""
     sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
