@@ -25,6 +25,8 @@ from .metrics import compute_psnr, compute_ssim
 
 @dataclass(frozen=True)
 class TestCfg:
+    __test__ = False  # not a pytest class despite the name
+
     output_dir: Path = Path("outputs/test")
     render_chunk_size: int | None = None  # target views per render call
     eval_time_skip_steps: int = 2
