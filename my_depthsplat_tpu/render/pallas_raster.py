@@ -125,13 +125,20 @@ def _fwd_kernel(
     px, py = _pixel_coords(ty, tx)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
-    def body(c, carry):
+    def cond(carry):
+        # early exit once every pixel's raw product is below the termination
+        # threshold (the whole tile is done) — the CUDA analog of all threads
+        # setting `done`.
+        c, p_raw, *_ = carry
+        return (c < n_chunks) & (jnp.max(p_raw) >= TRANSMITTANCE_EPS)
+
+    def body(carry):
         # p_raw: the UNfrozen running product over all alpha-gated lanes —
         # monotone decreasing forever, so the >= eps include test is sticky
         # across chunk boundaries exactly like CUDA's per-pixel `done` flag.
         # t_frozen: transmittance frozen at the last included lane (what the
         # background composites against).
-        p_raw, t_frozen, rgb, ncon = carry
+        c, p_raw, t_frozen, rgb, ncon = carry
 
         copy = pltpu.make_async_copy(
             packed_ref.at[
@@ -170,15 +177,16 @@ def _fwd_kernel(
             jnp.where(include, p_full, t_frozen), axis=1, keepdims=True
         )
         p_raw = p_full[:, -1:]
-        return p_raw, t_frozen, rgb, ncon
+        return c + 1, p_raw, t_frozen, rgb, ncon
 
     init = (
+        jnp.zeros((), jnp.int32),
         jnp.ones((_NPIX, 1), jnp.float32),
         jnp.ones((_NPIX, 1), jnp.float32),
         jnp.zeros((_NPIX, 3), jnp.float32),
         jnp.zeros((_NPIX, 1), jnp.float32),
     )
-    _, transmittance, rgb, ncon = jax.lax.fori_loop(0, n_chunks, body, init)
+    _, _, transmittance, rgb, ncon = jax.lax.while_loop(cond, body, init)
 
     bg = jnp.stack(
         [bg_ref[bb * 3 + 0], bg_ref[bb * 3 + 1], bg_ref[bb * 3 + 2]]
@@ -197,6 +205,7 @@ def _bwd_kernel(
     packed_ref,  # ANY
     fwd_ref,  # (1, 1, NPIX, OUTC) block — forward outputs (T_final, n_contrib)
     cot_ref,  # (1, 1, NPIX, OUTC) block — output cotangent (g_img in [:3])
+    zeros_ref,  # ANY — aliased into dpacked (zero init); not read
     dpacked_ref,  # (PACKED_ROWS, L) in HBM/ANY — output
     data_vmem,  # scratch (PACKED_ROWS, CHUNK)
     dout_vmem,  # scratch (PACKED_ROWS, CHUNK)
@@ -209,7 +218,6 @@ def _bwd_kernel(
     tile_idx = (bb * pl.num_programs(1) + ty) * pl.num_programs(2) + tx
     start = starts_ref[tile_idx]
     count = counts_ref[tile_idx]
-    n_chunks = pl.cdiv(count, CHUNK)
 
     px, py = _pixel_coords(ty, tx)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
@@ -224,6 +232,13 @@ def _bwd_kernel(
 
     # dL/dT_final from the background term seeds the "color behind" carry.
     g_dot_ra0 = jnp.sum(g_img * bg, axis=1, keepdims=True) * t_final  # (NPIX,1)
+
+    # Chunks past the tile's last contributor carry zero gradient; the output
+    # is zero-initialized via input aliasing, so they can be skipped entirely.
+    live = jnp.minimum(
+        jnp.max(ncon).astype(jnp.int32), count
+    )
+    n_chunks = pl.cdiv(live, CHUNK)
 
     def body(rev_c, carry):
         ta, g_dot_ra = carry  # transmittance after chunk, g . (color behind)
@@ -342,6 +357,7 @@ def _composite_bwd_impl(packed, starts, counts, background, grid_hw, fwd_out, co
             pl.BlockSpec(memory_space=pl.ANY),
             _tile_spec(),
             _tile_spec(),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -351,14 +367,16 @@ def _composite_bwd_impl(packed, starts, counts, background, grid_hw, fwd_out, co
             pltpu.SemaphoreType.DMA(()),
         ],
     )
+    zeros = jnp.zeros(packed.shape, jnp.float32)
     return pl.pallas_call(
         _bwd_kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=INTERPRET,
+        input_output_aliases={6: 0},  # zeros buffer -> d_packed
     )(starts.reshape(-1), counts.reshape(-1), background.reshape(-1),
-      packed, fwd_out, cot)
+      packed, fwd_out, cot, zeros)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
