@@ -81,8 +81,14 @@ def _window_attention(
     qw = _split_windows(q, splits)  # (..., KK, L, C)
     kw = _split_windows(k, splits)  # (..., M, KK, L, C)
     vw = _split_windows(v, splits)
-    kw = jnp.moveaxis(kw, -4, -3)  # (..., KK, M, L, C)
-    vw = jnp.moveaxis(vw, -4, -3)
+    # kv token order is (pixel-major, view-minor) — matching the reference's
+    # reshape chain (mv_transformer.py:104-127). Crucially the shifted-window
+    # mask is tiled VIEW-major there (`attn_mask.repeat(b, 1, m)`,
+    # mv_transformer.py:134), i.e. misaligned with the kv order for m > 1; the
+    # published multi-view weights were trained with exactly this layout, so
+    # it is replicated bit-for-bit rather than "fixed".
+    kw = jnp.moveaxis(kw, -4, -2)  # (..., KK, L, M, C)
+    vw = jnp.moveaxis(vw, -4, -2)
     kk, l = qw.shape[-3], qw.shape[-2]
     kw = kw.reshape(*kw.shape[:-4], kk, m * l, c)
     vw = vw.reshape(*vw.shape[:-4], kk, m * l, c)
@@ -167,6 +173,12 @@ class MultiViewTransformerBlock(nn.Module):
         """x: (B, V, H, W, C); kv_idx: (B, V, M) int gather indices or None."""
         b, v, h, w, c = x.shape
 
+        # Cross-attention keys/values come from the other views BEFORE this
+        # block's self-attention (the reference builds (q, kv) pairs per layer
+        # and feeds the ORIGINAL target into cross_attn_ffn,
+        # mv_transformer.py:463-499,629-643).
+        x_pre = x
+
         # Self-attention: each view attends within itself.
         x = AttentionLayer(
             self.d_model,
@@ -182,9 +194,9 @@ class MultiViewTransformerBlock(nn.Module):
             idx = np.stack([
                 [j for j in range(v) if j != i] for i in range(v)
             ]).astype(np.int32)  # (V, V-1)
-            kv = x[:, jnp.asarray(idx)]  # (B, V, V-1, H, W, C)
+            kv = x_pre[:, jnp.asarray(idx)]  # (B, V, V-1, H, W, C)
         else:
-            kv = _gather_views(x, kv_idx)
+            kv = _gather_views(x_pre, kv_idx)
 
         x = AttentionLayer(
             self.d_model,
