@@ -241,11 +241,13 @@ def convert_dpt_upsampler(sd: Mapping) -> dict:
         return out
 
     def deconv(prefix):
-        # torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out)
-        w = _np(sd[f"{prefix}.weight"])
+        # torch ConvTranspose2d (in, out, kh, kw) -> flax (kh, kw, in, out);
+        # torch's op is the conv gradient, so the kernel must be spatially
+        # flipped for flax's lax.conv_transpose semantics.
+        w = _np(sd[f"{prefix}.weight"])[:, :, ::-1, ::-1]
         return {
             "ConvTranspose_0": {
-                "kernel": w.transpose(2, 3, 0, 1),
+                "kernel": w.transpose(2, 3, 0, 1).copy(),
                 "bias": _np(sd[f"{prefix}.bias"]),
             }
         }
@@ -411,7 +413,9 @@ def convert_mv_unimatch(
             # stage 1 (scale 2.0): ConvTranspose + conv (vit_fpn.py:39-55)
             out["s1_up0"] = {
                 "ConvTranspose_0": {
-                    "kernel": _np(pyr["stages.1.0.weight"]).transpose(2, 3, 0, 1),
+                    "kernel": _np(pyr["stages.1.0.weight"])[:, :, ::-1, ::-1]
+                    .transpose(2, 3, 0, 1)
+                    .copy(),
                     "bias": _np(pyr["stages.1.0.bias"]),
                 }
             }
@@ -421,4 +425,62 @@ def convert_mv_unimatch(
                 )
             }
             params[name] = out
+    return {"params": params}
+
+
+def convert_prompt_dpt(sd: Mapping) -> dict:
+    """Reference promptda_dpt.DPTHead -> models.dpt.PromptDPTHead params."""
+
+    def conv(prefix, bias=True):
+        out = {"kernel": _np(sd[f"{prefix}.weight"]).transpose(2, 3, 1, 0)}
+        if bias:
+            out["bias"] = _np(sd[f"{prefix}.bias"])
+        return out
+
+    def deconv(prefix):
+        # spatially flipped: torch deconv is the conv gradient (see above)
+        w = _np(sd[f"{prefix}.weight"])[:, :, ::-1, ::-1]
+        return {
+            "ConvTranspose_0": {
+                "kernel": w.transpose(2, 3, 0, 1).copy(),
+                "bias": _np(sd[f"{prefix}.bias"]),
+            }
+        }
+
+    def rcu(prefix):
+        return {
+            "conv1": {"Conv_0": conv(f"{prefix}.conv1")},
+            "conv2": {"Conv_0": conv(f"{prefix}.conv2")},
+        }
+
+    def fusion(prefix, with_skip=True):
+        out = {
+            "res2": rcu(f"{prefix}.resConfUnit2"),
+            "out_conv": {"Conv_0": conv(f"{prefix}.out_conv")},
+            # prompt-depth conv stack (promptda_dpt.py:257-268)
+            "depth_conv1": {"Conv_0": conv(f"{prefix}.resConfUnit_depth.0")},
+            "depth_conv2": {"Conv_0": conv(f"{prefix}.resConfUnit_depth.2")},
+            "depth_conv3": {"Conv_0": conv(f"{prefix}.resConfUnit_depth.4")},
+        }
+        if with_skip:
+            out["res1"] = rcu(f"{prefix}.resConfUnit1")
+        return out
+
+    params: dict = {"stem": {}}
+    for i in range(4):
+        params["stem"][f"project{i}"] = {"Conv_0": conv(f"projects.{i}")}
+    params["stem"]["resize0"] = deconv("resize_layers.0")
+    params["stem"]["resize1"] = deconv("resize_layers.1")
+    params["stem"]["resize3"] = {"Conv_0": conv("resize_layers.3")}
+    for i in range(1, 5):
+        params[f"layer{i}_rn"] = {"Conv_0": conv(f"scratch.layer{i}_rn", bias=False)}
+    # NOTE: promptda's refinenet4 KEEPS resConfUnit1 (unlike the upsampler
+    # head) but never uses it; our module only creates used params.
+    params["refine4"] = fusion("scratch.refinenet4", with_skip=False)
+    params["refine3"] = fusion("scratch.refinenet3")
+    params["refine2"] = fusion("scratch.refinenet2")
+    params["refine1"] = fusion("scratch.refinenet1")
+    params["out_conv1"] = {"Conv_0": conv("scratch.output_conv1")}
+    params["out_conv2_0"] = {"Conv_0": conv("scratch.output_conv2.0")}
+    params["out_conv2_1"] = {"Conv_0": conv("scratch.output_conv2.2")}
     return {"params": params}

@@ -301,6 +301,11 @@ def test_dpt_upsampler_parity(ref_unimatch_pkg):
         num_scales=1,
     )
     tm.eval()
+    # the reference zero-inits the residual-depth head (dpt_head.py:442-444),
+    # which would make this comparison trivially 0 == 0 — randomize it
+    with torch.no_grad():
+        tm.scratch.output_conv[-1].weight.normal_(0, 0.1)
+        tm.scratch.output_conv[-1].bias.normal_(0, 0.1)
 
     bv, h8, w8 = 2, 8, 8  # full res 32x32 at df=4 -> vit at 1/8
     rng = np.random.default_rng(8)
@@ -384,6 +389,9 @@ def test_mv_unimatch_full_parity(ref_unimatch_pkg, monkeypatch):
         unet_attn_resolutions=[4],
     )
     tm.eval()
+    with torch.no_grad():  # un-zero the residual head so the DPT path matters
+        tm.upsampler.scratch.output_conv[-1].weight.normal_(0, 0.05)
+        tm.upsampler.scratch.output_conv[-1].bias.normal_(0, 0.05)
 
     b, v, h, w = 1, 2, 64, 64
     rng = np.random.default_rng(13)
@@ -436,3 +444,49 @@ def test_mv_unimatch_full_parity(ref_unimatch_pkg, monkeypatch):
     )
     our_depth = np.asarray(out["depth_preds"][-1])
     np.testing.assert_allclose(our_depth, ref_depth, rtol=5e-3, atol=5e-3)
+
+
+def test_prompt_dpt_parity(ref_unimatch_pkg):
+    """Reference PromptDA DPT head (prompt fusion at every stage) vs ours."""
+    pd = ref_unimatch_pkg("refum.promptda_dpt")
+
+    from my_depthsplat_tpu.convert.torch_weights import convert_prompt_dpt
+    from my_depthsplat_tpu.models.dpt import PromptDPTHead
+
+    torch.manual_seed(9)
+    tm = pd.DPTHead(
+        nclass=1, in_channels=384, features=64,
+        out_channels=[48, 96, 192, 384], use_bn=False, use_clstoken=False,
+        output_act="sigmoid",
+    )
+    tm.eval()
+
+    n, gh, gw = 2, 4, 6
+    rng = np.random.default_rng(10)
+    feats = [
+        (
+            torch.from_numpy(
+                rng.normal(size=(n, gh * gw, 384)).astype(np.float32)
+            ),
+            torch.zeros(n, 384),
+        )
+        for _ in range(4)
+    ]
+    prompt = rng.uniform(0, 1, (n, 1, 8, 12)).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(feats, gh, gw, torch.from_numpy(prompt)).numpy()
+
+    params = jax.tree.map(jnp.asarray, convert_prompt_dpt(tm.state_dict()))
+    model = PromptDPTHead(out_channels=(48, 96, 192, 384), features=64)
+    stage_maps = [
+        jnp.asarray(f[0].numpy().reshape(n, gh, gw, 384)) for f in feats
+    ]
+    prompt_nhwc = jnp.asarray(np.moveaxis(prompt, 1, -1))
+    variables = model.init(jax.random.key(0), stage_maps, prompt_nhwc)
+    assert (
+        jax.tree.map(lambda a: a.shape, params)
+        == jax.tree.map(lambda a: a.shape, variables)
+    )
+    ours = model.apply(params, stage_maps, prompt_nhwc)
+    ref_nhwc = np.moveaxis(ref, 1, -1)
+    np.testing.assert_allclose(np.asarray(ours), ref_nhwc, atol=1e-5)
