@@ -484,3 +484,15 @@ def convert_prompt_dpt(sd: Mapping) -> dict:
     params["out_conv2_0"] = {"Conv_0": conv("scratch.output_conv2.0")}
     params["out_conv2_1"] = {"Conv_0": conv("scratch.output_conv2.2")}
     return {"params": params}
+
+
+def convert_promptda(sd: Mapping, vit_depth: int = 12) -> dict:
+    """Full promptda.PromptDA state_dict -> models.promptda.PromptDA params."""
+    return {
+        "params": {
+            "pretrained": convert_dino_vit(_sub(sd, "pretrained"), vit_depth)[
+                "params"
+            ],
+            "depth_head": convert_prompt_dpt(_sub(sd, "depth_head"))["params"],
+        }
+    }
