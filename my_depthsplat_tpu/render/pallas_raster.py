@@ -3,17 +3,22 @@
 The fast path replacing the reference's external CUDA rasterizer
 (diff-gaussian-rasterization, driven from cuda_splatting.py:98-126):
 
-- forward: one grid step per 16x16 tile; the tile's aligned instance segment
-  (built by instances.py) is DMA'd chunk-by-chunk from HBM into VMEM and
-  composited front-to-back with the exact CUDA gates (power<=0, alpha>=1/255,
-  0.99 clamp, 1e-4 transmittance early-stop); per-pixel color, final
-  transmittance, and last-contributor index are written out.
+- forward: one grid step per 16x16 tile; the tile's contiguous run of the
+  sorted instance array (built by instances.py) is DMA'd chunk-by-chunk from
+  HBM into VMEM and composited front-to-back with the exact CUDA gates
+  (power<=0, alpha>=1/255, 0.99 clamp, 1e-4 transmittance early-stop);
+  per-pixel color, final transmittance, and last-contributor index are
+  written out. Runs are NOT chunk-aligned: DMA windows start at the 128-lane
+  aligned floor and leading/trailing lanes belonging to neighboring tiles are
+  masked.
 - backward: walks the same chunks in reverse, reconstructing per-instance
   transmittance by division from the stored final transmittance (the CUDA
-  back-to-front scheme) and producing per-INSTANCE gradients — each instance
-  belongs to exactly one tile, so accumulation is race-free and deterministic;
-  instance->gaussian reduction happens outside via the autodiff of the packed
-  gather (a deterministic segment scatter-add).
+  back-to-front scheme) and producing per-INSTANCE gradients. Because aligned
+  windows overlap neighboring runs, gradient writes are read-modify-write;
+  grid steps execute sequentially and each chunk adds zero outside its own
+  live range, so accumulation is race-free and deterministic.
+  Instance->gaussian reduction happens outside via the pack gather's custom
+  VJP (a deterministic segment scatter-add).
 
 Kernel I/O is tile-major (gy, gx, 256, 8) so every block satisfies the TPU
 (8, 128)-alignment rules; channels are [r, g, b, T_final, n_contrib, pad...].
@@ -44,6 +49,7 @@ from .instances import PACKED_ROWS, build_tile_instances_batched
 from .projection import project_gaussians
 
 CHUNK = 256
+_ALIGN = 128  # Mosaic lane-slice alignment for HBM DMA windows
 _NPIX = TILE * TILE
 _OUTC = 8  # r, g, b, t_final, n_contrib, pad, pad, pad
 
@@ -120,7 +126,16 @@ def _fwd_kernel(
     tile_idx = (bb * pl.num_programs(1) + ty) * pl.num_programs(2) + tx
     start = starts_ref[tile_idx]
     count = counts_ref[tile_idx]
-    n_chunks = pl.cdiv(count, CHUNK)
+    # Runs are contiguous in the sorted array (NOT chunk-aligned). Mosaic can
+    # only DMA lane slices at 128-multiples, so windows start at the aligned
+    # floor and the <=127 leading lanes (previous tiles' instances) plus any
+    # trailing overrun (later tiles') are masked out.
+    lead = start % _ALIGN
+    base = pl.multiple_of(start - lead, _ALIGN)
+    # Empty tiles must issue NO windows: their `start` is just an insertion
+    # point that can lie beyond the (budget-truncated) packed buffer, so a
+    # lead-only window would DMA out of bounds.
+    n_chunks = jnp.where(count > 0, pl.cdiv(lead + count, CHUNK), 0)
 
     px, py = _pixel_coords(ty, tx)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
@@ -141,16 +156,15 @@ def _fwd_kernel(
         c, p_raw, t_frozen, rgb, ncon = carry
 
         copy = pltpu.make_async_copy(
-            packed_ref.at[
-                :, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)
-            ],
+            packed_ref.at[:, pl.ds(pl.multiple_of(base + c * CHUNK, _ALIGN), CHUNK)],
             data_vmem, sem
         )
         copy.start()
         copy.wait()
         data = data_vmem[:, :]
 
-        lane_mask = lane < (count - c * CHUNK)
+        pos0 = c * CHUNK + lane - lead  # 0-based index within the run
+        lane_mask = (pos0 >= 0) & (pos0 < count)
         a, _, _, _, gate = _chunk_alpha(data, px, py, lane_mask)
 
         log1m = jnp.log(1.0 - a)  # a <= 0.99 so this is finite
@@ -168,7 +182,7 @@ def _fwd_kernel(
         )  # (NPIX, 3) — exact VPU reductions (thin matmuls lose precision)
 
         contributes = gate & include
-        pos = (c * CHUNK + lane + 1).astype(jnp.float32)  # 1-based
+        pos = (pos0 + 1).astype(jnp.float32)  # 1-based within the run
         ncon = jnp.maximum(
             ncon, jnp.max(jnp.where(contributes, pos, 0.0), axis=1, keepdims=True)
         )
@@ -209,8 +223,10 @@ def _bwd_kernel(
     dpacked_ref,  # (PACKED_ROWS, L) in HBM/ANY — output
     data_vmem,  # scratch (PACKED_ROWS, CHUNK)
     dout_vmem,  # scratch (PACKED_ROWS, CHUNK)
+    dprev_vmem,  # scratch (PACKED_ROWS, CHUNK) — RMW read of existing grads
     sem_in,
     sem_out,
+    sem_prev,
 ):
     bb = pl.program_id(0)
     ty = pl.program_id(1)
@@ -218,6 +234,8 @@ def _bwd_kernel(
     tile_idx = (bb * pl.num_programs(1) + ty) * pl.num_programs(2) + tx
     start = starts_ref[tile_idx]
     count = counts_ref[tile_idx]
+    lead = start % _ALIGN
+    base = pl.multiple_of(start - lead, _ALIGN)
 
     px, py = _pixel_coords(ty, tx)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
@@ -238,26 +256,35 @@ def _bwd_kernel(
     live = jnp.minimum(
         jnp.max(ncon).astype(jnp.int32), count
     )
-    n_chunks = pl.cdiv(live, CHUNK)
+    # As in the forward: no windows for empty/quiet tiles (their start can be
+    # out of bounds, and a lead-only window would read AND write OOB).
+    n_chunks = jnp.where(live > 0, pl.cdiv(lead + live, CHUNK), 0)
 
     def body(rev_c, carry):
         ta, g_dot_ra = carry  # transmittance after chunk, g . (color behind)
         c = n_chunks - 1 - rev_c
+        window = pl.ds(pl.multiple_of(base + c * CHUNK, _ALIGN), CHUNK)
 
         copy = pltpu.make_async_copy(
-            packed_ref.at[
-                :, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)
-            ],
-            data_vmem, sem_in
+            packed_ref.at[:, window], data_vmem, sem_in
         )
         copy.start()
+        # Aligned windows overlap neighboring tiles' runs, so writes are
+        # read-modify-write: start the gradient read-back early and overlap
+        # it with the compute below. Grid steps execute sequentially, so RMW
+        # accumulation is race-free and each lane's gradient is written only
+        # by chunks that add zero outside their own live range.
+        copy_prev = pltpu.make_async_copy(
+            dpacked_ref.at[:, window], dprev_vmem, sem_prev
+        )
+        copy_prev.start()
         copy.wait()
         data = data_vmem[:, :]
 
-        lane_mask = lane < (count - c * CHUNK)
+        pos0 = c * CHUNK + lane - lead  # 0-based index within the run
+        lane_mask = (pos0 >= 0) & (pos0 < count)
         a, g_exp, dx, dy, gate = _chunk_alpha(data, px, py, lane_mask)
-        pos = (c * CHUNK + lane).astype(jnp.float32)  # 0-based
-        mask = gate & (pos < ncon)
+        mask = gate & (pos0.astype(jnp.float32) < ncon)
         a = jnp.where(mask, a, 0.0)
 
         one_minus = jnp.maximum(1.0 - a, 1e-6)
@@ -290,25 +317,27 @@ def _bwd_kernel(
         d_cc = d_power * (-0.5 * dy * dy)
         # d_color rows computed directly as exact reductions over pixels
 
-        dout_vmem[0:1, :] = jnp.sum(d_x, axis=0, keepdims=True)
-        dout_vmem[1:2, :] = jnp.sum(d_y, axis=0, keepdims=True)
-        dout_vmem[2:3, :] = jnp.sum(d_ca, axis=0, keepdims=True)
-        dout_vmem[3:4, :] = jnp.sum(d_cb, axis=0, keepdims=True)
-        dout_vmem[4:5, :] = jnp.sum(d_cc, axis=0, keepdims=True)
-        dout_vmem[5:6, :] = jnp.sum(d_op, axis=0, keepdims=True)
-        dout_vmem[6:7, :] = jnp.sum(w * g_img[:, 0:1], axis=0, keepdims=True)
-        dout_vmem[7:8, :] = jnp.sum(w * g_img[:, 1:2], axis=0, keepdims=True)
-        dout_vmem[8:9, :] = jnp.sum(w * g_img[:, 2:3], axis=0, keepdims=True)
-        dout_vmem[9:PACKED_ROWS, :] = jnp.zeros(
-            (PACKED_ROWS - 9, CHUNK), jnp.float32
+        copy_prev.wait()
+        dprev = dprev_vmem[:, :]
+        dout_vmem[0:1, :] = dprev[0:1, :] + jnp.sum(d_x, axis=0, keepdims=True)
+        dout_vmem[1:2, :] = dprev[1:2, :] + jnp.sum(d_y, axis=0, keepdims=True)
+        dout_vmem[2:3, :] = dprev[2:3, :] + jnp.sum(d_ca, axis=0, keepdims=True)
+        dout_vmem[3:4, :] = dprev[3:4, :] + jnp.sum(d_cb, axis=0, keepdims=True)
+        dout_vmem[4:5, :] = dprev[4:5, :] + jnp.sum(d_cc, axis=0, keepdims=True)
+        dout_vmem[5:6, :] = dprev[5:6, :] + jnp.sum(d_op, axis=0, keepdims=True)
+        dout_vmem[6:7, :] = dprev[6:7, :] + jnp.sum(
+            w * g_img[:, 0:1], axis=0, keepdims=True
         )
+        dout_vmem[7:8, :] = dprev[7:8, :] + jnp.sum(
+            w * g_img[:, 1:2], axis=0, keepdims=True
+        )
+        dout_vmem[8:9, :] = dprev[8:9, :] + jnp.sum(
+            w * g_img[:, 2:3], axis=0, keepdims=True
+        )
+        dout_vmem[9:PACKED_ROWS, :] = dprev[9:PACKED_ROWS, :]
 
         copy_out = pltpu.make_async_copy(
-            dout_vmem,
-            dpacked_ref.at[
-                :, pl.ds(pl.multiple_of(start + c * CHUNK, CHUNK), CHUNK)
-            ],
-            sem_out
+            dout_vmem, dpacked_ref.at[:, window], sem_out
         )
         copy_out.start()
         copy_out.wait()
@@ -363,6 +392,8 @@ def _composite_bwd_impl(packed, starts, counts, background, grid_hw, fwd_out, co
         scratch_shapes=[
             pltpu.VMEM((PACKED_ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((PACKED_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((PACKED_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],

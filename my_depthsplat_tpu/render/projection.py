@@ -53,10 +53,14 @@ def project_gaussians(
     w2c = jnp.linalg.inv(extrinsics)
     rot = w2c[:3, :3]
 
-    # View-space position + near cull.
-    t = jnp.einsum('gi,ji->gj', means, rot,
-                   precision=jax.lax.Precision.HIGHEST) + w2c[:3, 3]
-    tz = t[:, 2]
+    # View-space position + near cull. All per-gaussian math below is written
+    # as scalar arithmetic on (G,) vectors: (G, 2, 3)-shaped dot_generals pad
+    # their minor dims to the 128-lane tile and run ~6x slower on TPU than
+    # the equivalent fused elementwise ops.
+    mx, my, mz = means[:, 0], means[:, 1], means[:, 2]
+    tx_ = rot[0, 0] * mx + rot[0, 1] * my + rot[0, 2] * mz + w2c[0, 3]
+    ty_ = rot[1, 0] * mx + rot[1, 1] * my + rot[1, 2] * mz + w2c[1, 3]
+    tz = rot[2, 0] * mx + rot[2, 1] * my + rot[2, 2] * mz + w2c[2, 3]
     in_front = tz > NEAR_CULL_Z
     tz_safe = jnp.where(in_front, tz, 1.0)
 
@@ -64,38 +68,46 @@ def project_gaussians(
     # NDC with the GL-style matrix then ndc2Pix(v, S) = ((v+1)*S - 1)/2; for
     # points with w!=0 this equals the direct pinhole mapping below (the 1e-7
     # w-guard only matters for culled points).
-    ndc_x = t[:, 0] / tz_safe / tan_fov_x
-    ndc_y = t[:, 1] / tz_safe / tan_fov_y
+    ndc_x = tx_ / tz_safe / tan_fov_x
+    ndc_y = ty_ / tz_safe / tan_fov_y
     pix_x = ((ndc_x + 1.0) * w - 1.0) * 0.5
     pix_y = ((ndc_y + 1.0) * h - 1.0) * 0.5
     xy = jnp.stack([pix_x, pix_y], axis=-1)
 
     # EWA 2D covariance: J R Sigma R^T J^T + dilation, with the CUDA frustum
-    # clamp of the view-space tangent at 1.3x the half-fov.
+    # clamp of the view-space tangent at 1.3x the half-fov. Expanded to
+    # scalar form: with J = [[j00, 0, j02], [0, j11, j12]] the two JR rows
+    # are u_k = j00*rot[0,k] + j02*rot[2,k] and v_k = j11*rot[1,k] +
+    # j12*rot[2,k], and cov2d = [[u S u, u S v], [., v S v]].
     lim_x = 1.3 * tan_fov_x
     lim_y = 1.3 * tan_fov_y
-    txz = jnp.clip(t[:, 0] / tz_safe, -lim_x, lim_x)
-    tyz = jnp.clip(t[:, 1] / tz_safe, -lim_y, lim_y)
-    # J rows: [fx/z, 0, -fx*x/z^2], [0, fy/z, -fy*y/z^2]
+    txz = jnp.clip(tx_ / tz_safe, -lim_x, lim_x)
+    tyz = jnp.clip(ty_ / tz_safe, -lim_y, lim_y)
     j00 = focal_x / tz_safe
     j02 = -focal_x * txz / tz_safe
     j11 = focal_y / tz_safe
     j12 = -focal_y * tyz / tz_safe
-    zeros = jnp.zeros_like(j00)
-    J = jnp.stack(
-        [
-            jnp.stack([j00, zeros, j02], axis=-1),
-            jnp.stack([zeros, j11, j12], axis=-1),
-        ],
-        axis=-2,
-    )  # (G, 2, 3)
-    JR = jnp.einsum('gij,jk->gik', J, rot,
-                    precision=jax.lax.Precision.HIGHEST)  # (G, 2, 3)
-    cov2d = jnp.einsum('gij,gjk,glk->gil', JR, covariances, JR,
-                       precision=jax.lax.Precision.HIGHEST)  # (G, 2, 2)
-    a = cov2d[:, 0, 0] + COV2D_DILATION
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1] + COV2D_DILATION
+    u0 = j00 * rot[0, 0] + j02 * rot[2, 0]
+    u1 = j00 * rot[0, 1] + j02 * rot[2, 1]
+    u2 = j00 * rot[0, 2] + j02 * rot[2, 2]
+    v0 = j11 * rot[1, 0] + j12 * rot[2, 0]
+    v1 = j11 * rot[1, 1] + j12 * rot[2, 1]
+    v2 = j11 * rot[1, 2] + j12 * rot[2, 2]
+    s00 = covariances[:, 0, 0]
+    s01 = covariances[:, 0, 1]
+    s02 = covariances[:, 0, 2]
+    s11 = covariances[:, 1, 1]
+    s12 = covariances[:, 1, 2]
+    s22 = covariances[:, 2, 2]
+    su0 = s00 * u0 + s01 * u1 + s02 * u2  # (S u)_k
+    su1 = s01 * u0 + s11 * u1 + s12 * u2
+    su2 = s02 * u0 + s12 * u1 + s22 * u2
+    sv0 = s00 * v0 + s01 * v1 + s02 * v2  # (S v)_k
+    sv1 = s01 * v0 + s11 * v1 + s12 * v2
+    sv2 = s02 * v0 + s12 * v1 + s22 * v2
+    a = u0 * su0 + u1 * su1 + u2 * su2 + COV2D_DILATION
+    b = u0 * sv0 + u1 * sv1 + u2 * sv2
+    c = v0 * sv0 + v1 * sv1 + v2 * sv2 + COV2D_DILATION
 
     det = a * c - b * b
     det_ok = det != 0.0

@@ -64,8 +64,13 @@ def test_instances_layout():
     starts = np.asarray(inst.starts)
     counts = np.asarray(inst.counts)
     gid = np.asarray(inst.gaussian_id)
-    # aligned starts
-    assert (starts % 256 == 0).all()
+    # runs are contiguous and ascending by tile (the kernel's sequential
+    # backward-overwrite correctness depends on this)
+    order_t = np.argsort(starts, kind="stable")
+    live = counts[order_t] > 0
+    s, c = starts[order_t][live], counts[order_t][live]
+    assert (s[1:] >= s[:-1] + c[:-1]).all()
+    assert (s[1:] == s[:-1] + c[:-1]).all()  # no gaps either
     # every live lane's gaussian id < G; ids in [start, start+count) are live
     for t in range(len(starts)):
         seg = gid[starts[t] : starts[t] + counts[t]]
@@ -116,6 +121,31 @@ def test_deep_stack_sticky_termination():
     np.testing.assert_allclose(
         np.asarray(gp) / scale, np.asarray(go) / scale, atol=1e-4
     )
+
+
+def test_starved_instance_budget():
+    """Regression: a budget far below the live instance count truncates runs
+    so that many tiles end up empty with out-of-range insertion-point starts.
+    The kernels must issue NO DMA windows for those tiles (a lead-only window
+    reads/writes out of bounds and faults on real TPUs)."""
+    args, (h, w) = random_scene(300)
+    extr, intr, near, far, bg, means, cov, sh, opac = args
+
+    img = pallas_raster.render_pallas(
+        extr, intr, near, far, (h, w), bg, means, cov, sh, opac,
+        instance_budget=64,
+    )
+    assert np.isfinite(np.asarray(img)).all()
+
+    def loss(o):
+        out = pallas_raster.render_pallas(
+            extr, intr, near, far, (h, w), bg, means, cov, sh, o,
+            instance_budget=64,
+        )
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss)(opac)
+    assert np.isfinite(np.asarray(g)).all()
 
 
 def test_pallas_matches_oracle_gradients():
