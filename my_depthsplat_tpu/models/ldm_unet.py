@@ -64,6 +64,57 @@ class CrossViewAttentionBlock(nn.Module):
         return x + out
 
 
+class ConditionCrossAttentionBlock(nn.Module):
+    """External-conditioning block (reference ldm_unet/cross_attention.py:
+    CrossAttention :23-61 + UNetCrossAttentionBlock :64-160): per-view
+    cross-attention from the UNet's spatial tokens (queries) to a condition
+    token sequence (keys/values), added residually. ``concat_condition``
+    selects the reference's no_cross_attn path: bilinear-resize the condition
+    map and fuse with a 1x1 (or 3x3) conv. The reference runs the attention
+    through xformers memory_efficient_attention; here it is a fused jnp
+    attention (same math)."""
+
+    dim: int = 256
+    num_heads: int = 4
+    concat_condition: bool = False
+    concat_conv3x3: bool = False
+    with_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x: Array, cond: Array) -> Array:
+        b, v, hh, ww, c = x.shape
+        if self.concat_condition:
+            # cond: (B, V, Hc, Wc, Cc) map, resized to the feature resolution
+            from ..ops import resize_bilinear
+
+            if cond.shape[2:4] != (hh, ww):
+                cond = resize_bilinear(cond, (hh, ww), align_corners=True)
+            fused = jnp.concatenate([x, cond], axis=-1)
+            k = 3 if self.concat_conv3x3 else 1
+            return Conv(c, k, padding=k // 2, name="proj")(fused)
+
+        # cond: (B, V, T, Cc) token sequence
+        tokens = x.reshape(b * v, hh * ww, c)
+        cond_t = cond.reshape(b * v, cond.shape[-2], cond.shape[-1])
+        ch = self.dim // self.num_heads
+        q = nn.Dense(self.dim, use_bias=False, name="q")(tokens)
+        kv = nn.Dense(2 * self.dim, use_bias=False, name="kv")(cond_t)
+        q = q.reshape(b * v, -1, self.num_heads, ch)
+        kv = kv.reshape(b * v, -1, 2, self.num_heads, ch)
+        k, vv = kv[:, :, 0], kv[:, :, 1]
+        scores = jnp.einsum("bthc,bshc->bhts", q, k) / jnp.sqrt(
+            jnp.asarray(ch, x.dtype)
+        )
+        attn = nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhts,bshc->bthc", attn, vv).reshape(
+            b * v, -1, self.dim
+        )
+        out = nn.Dense(c, use_bias=False, name="proj")(out)
+        if self.with_norm:
+            out = nn.LayerNorm(name="norm1")(out)
+        return x + out.reshape(b, v, hh, ww, c)
+
+
 class UNetModel(nn.Module):
     model_channels: int
     out_channels: int
@@ -72,24 +123,43 @@ class UNetModel(nn.Module):
     channel_mult: Sequence[int] = (1, 1, 1)
     num_head_channels: int = 32
     use_cross_view_self_attn: bool = True
+    # External-conditioning path (reference unet.py:673-683,797-803): a
+    # ConditionCrossAttentionBlock after every attention site when a
+    # ``context`` is passed.
+    cross_attn_condition: bool = False
+    concat_condition: bool = False
+    cross_attn_dim: int = 256
+    cross_attn_with_norm: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        """x: (B, V, H, W, C_in) -> (B, V, H, W, out_channels)."""
+    def __call__(self, x: Array, context: Array | None = None) -> Array:
+        """x: (B, V, H, W, C_in) -> (B, V, H, W, out_channels).
+
+        context: optional condition for ``cross_attn_condition`` — token
+        sequence (B, V, T, Cc), or a spatial map (B, V, Hc, Wc, Cc) with
+        ``concat_condition``."""
         attn_res = set(self.attention_resolutions)
+        assert (context is not None) == self.cross_attn_condition
 
         def maybe_attn(h, ds, name):
             if ds in attn_res and self.use_cross_view_self_attn:
-                return CrossViewAttentionBlock(
+                h = CrossViewAttentionBlock(
                     self.num_head_channels, name=name
                 )(h)
-            if ds in attn_res:
+            elif ds in attn_res:
                 # per-view attention (views folded in batch)
                 b, v, hh, ww, c = h.shape
                 out = CrossViewAttentionBlock(self.num_head_channels, name=name)(
                     h.reshape(b * v, 1, hh, ww, c)
                 )
-                return out.reshape(b, v, hh, ww, c)
+                h = out.reshape(b, v, hh, ww, c)
+            if ds in attn_res and self.cross_attn_condition:
+                h = ConditionCrossAttentionBlock(
+                    dim=self.cross_attn_dim,
+                    concat_condition=self.concat_condition,
+                    with_norm=self.cross_attn_with_norm,
+                    name=f"{name}_cond",
+                )(h, context)
             return h
 
         hs = []

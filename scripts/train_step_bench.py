@@ -1,0 +1,59 @@
+"""Measure the full training step (encoder fwd+bwd + render fwd+bwd + AdamW)
+on the real TPU at the re10k small config (2 context views, 256x256).
+
+Reference budget: 1x A100 runs bs8 x 600k steps (scripts/re10k_depthsplat_train.sh);
+their cluster recipe is 4 GPU x bs8 x 150k. This prints steps/s and samples/s
+for direct comparison once the reference's per-step time is known.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+import __graft_entry__ as ge
+from my_depthsplat_tpu.train import LossCfg, OptimizerCfg, TrainCfg, make_train_step
+
+
+def main() -> None:
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 1
+    h = w = 256
+    cfg = TrainCfg(
+        encoder=ge._encoder_cfg(tiny=False),
+        loss=LossCfg(lpips_weight=0.0),  # LPIPS weights not bundled; MSE only
+        optimizer=OptimizerCfg(total_steps=1000),
+    )
+    init_fn, train_step = make_train_step(cfg)
+    batch = ge._make_batch(b=b, v_ctx=2, v_tgt=4, h=h, w=w)
+
+    t0 = time.perf_counter()
+    state = init_fn(jax.random.key(0), batch)
+    jax.block_until_ready(state.params)
+    print(f"init: {time.perf_counter()-t0:.1f}s", flush=True)
+
+    step = jax.jit(train_step, donate_argnums=0)
+    t0 = time.perf_counter()
+    state, logs = step(state, batch)
+    jax.block_until_ready(logs["loss/total"])
+    print(f"compile+first: {time.perf_counter()-t0:.1f}s  loss={float(logs['loss/total']):.4f}", flush=True)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, logs = step(state, batch)
+    jax.block_until_ready(logs["loss/total"])
+    dt = (time.perf_counter() - t0) / iters
+    print(
+        f"train step (bs{b}, 2-view 256x256, 4 targets): {dt*1e3:.0f} ms "
+        f"-> {1/dt:.2f} steps/s, {b/dt:.2f} samples/s"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -103,6 +103,58 @@ def test_unet_cross_view():
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
 
 
+def test_unet_cross_attn_condition():
+    """External-conditioning path (reference cross_attention.py /
+    unet.py:797-803): token cross-attention and concat-conv variants."""
+    rng = np.random.default_rng(2)
+    b, v, h, w, c = 1, 2, 16, 16, 32
+    x = jnp.asarray(rng.normal(size=(b, v, h, w, c)), jnp.float32)
+
+    ctx_tokens = jnp.asarray(rng.normal(size=(b, v, 12, 24)), jnp.float32)
+    model = UNetModel(
+        model_channels=32, out_channels=32, cross_attn_condition=True
+    )
+    params = model.init(jax.random.key(0), x, ctx_tokens)
+    out = model.apply(params, x, ctx_tokens)
+    assert out.shape == (b, v, h, w, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+    ctx_map = jnp.asarray(rng.normal(size=(b, v, 8, 8, 24)), jnp.float32)
+    model_cat = UNetModel(
+        model_channels=32, out_channels=32,
+        cross_attn_condition=True, concat_condition=True,
+    )
+    params_cat = model_cat.init(jax.random.key(0), x, ctx_map)
+    out_cat = model_cat.apply(params_cat, x, ctx_map)
+    assert out_cat.shape == (b, v, h, w, 32)
+    assert np.isfinite(np.asarray(out_cat)).all()
+
+    # the attention math matches a direct numpy computation
+    from my_depthsplat_tpu.models.ldm_unet import ConditionCrossAttentionBlock
+
+    blk = ConditionCrossAttentionBlock(dim=8, num_heads=2)
+    xb = jnp.asarray(rng.normal(size=(1, 1, 2, 2, 6)), jnp.float32)
+    cb = jnp.asarray(rng.normal(size=(1, 1, 3, 5)), jnp.float32)
+    p = blk.init(jax.random.key(1), xb, cb)
+    got = np.asarray(blk.apply(p, xb, cb))[0, 0].reshape(4, 6)
+    wq = np.asarray(p["params"]["q"]["kernel"])
+    wkv = np.asarray(p["params"]["kv"]["kernel"])
+    wp = np.asarray(p["params"]["proj"]["kernel"])
+    tok = np.asarray(xb)[0, 0].reshape(4, 6)
+    cond = np.asarray(cb)[0, 0]
+    q = (tok @ wq).reshape(4, 2, 4)
+    kv = (cond @ wkv).reshape(3, 2, 2, 4)
+    k, vv = kv[:, 0], kv[:, 1]
+    outs = np.zeros((4, 2, 4), np.float32)
+    for hd in range(2):
+        s = q[:, hd] @ k[:, hd].T / np.sqrt(4.0)
+        a = np.exp(s - s.max(-1, keepdims=True))
+        a /= a.sum(-1, keepdims=True)
+        outs[:, hd] = a @ vv[:, hd]
+    want = tok + outs.reshape(4, 8) @ wp
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 def test_vit_intermediate_layers_and_pos_interp():
     cfg = tiny_vit()
     x = jnp.zeros((2, 28, 42, 3))  # non-square, != base -> pos interp path

@@ -551,3 +551,75 @@ def test_promptda_full_parity(ref_unimatch_pkg):
     np.testing.assert_allclose(
         our_feat / fscale, ref_feat_nhwc / fscale, atol=1e-4
     )
+
+
+def test_epipolar_project_rays_parity():
+    """Exact ray-segment projection vs reference epipolar_lines.project_rays
+    (overlap flags and segment endpoints), random camera pairs."""
+    import importlib
+    import types
+
+    if "refgeo" not in sys.modules:
+        pkg = types.ModuleType("refgeo")
+        pkg.__path__ = [str(REFERENCE / "src/geometry")]
+        sys.modules["refgeo"] = pkg
+    ref_ep = importlib.import_module("refgeo.epipolar_lines")
+
+    from my_depthsplat_tpu.geometry.epipolar import project_rays
+    from my_depthsplat_tpu.geometry.projection import (
+        get_world_rays,
+        sample_image_grid,
+    )
+
+    rng = np.random.default_rng(11)
+    for case in range(4):
+        # two random-ish cameras looking roughly at each other
+        def cam(offset):
+            e = np.eye(4, dtype=np.float32)
+            angle = rng.uniform(-0.4, 0.4)
+            ca, sa = np.cos(angle), np.sin(angle)
+            e[:3, :3] = np.array(
+                [[ca, 0, sa], [0, 1, 0], [-sa, 0, ca]], np.float32
+            )
+            e[:3, 3] = offset + rng.normal(0, 0.3, 3).astype(np.float32)
+            return e
+
+        extr_a = cam(np.array([0, 0, 0], np.float32))
+        extr_b = cam(np.array([1.0, 0.2, 0.3], np.float32))
+        intr = np.array(
+            [[0.9, 0, 0.5], [0, 1.1, 0.5], [0, 0, 1]], np.float32
+        )
+
+        xy, _ = sample_image_grid((8, 8))
+        origins, dirs = jax.jit(get_world_rays)(
+            jnp.asarray(xy.reshape(-1, 2)), jnp.asarray(extr_a), jnp.asarray(intr)
+        )
+        ours = jax.jit(project_rays)(
+            origins, dirs, jnp.asarray(extr_b), jnp.asarray(intr)
+        )
+
+        ref = ref_ep.project_rays(
+            torch.as_tensor(np.asarray(origins)),
+            torch.as_tensor(np.asarray(dirs)),
+            torch.as_tensor(extr_b),
+            torch.as_tensor(intr),
+        )
+        ov_ref = ref["overlaps_image"].numpy()
+        ov_ours = np.asarray(ours["overlaps_image"])
+        np.testing.assert_array_equal(ov_ours, ov_ref, err_msg=f"case {case}")
+        if ov_ref.any():
+            for key in ("t_min", "t_max"):
+                a = np.asarray(ours[key])[ov_ref]
+                b = ref[key].numpy()[ov_ref]
+                both_finite = np.isfinite(a) & np.isfinite(b)
+                np.testing.assert_allclose(
+                    a[both_finite], b[both_finite], rtol=1e-4, atol=1e-5,
+                    err_msg=f"case {case} {key}",
+                )
+                assert (np.isfinite(a) == np.isfinite(b)).all()
+            for key in ("xy_min", "xy_max"):
+                a = np.asarray(ours[key])[ov_ref]
+                b = ref[key].numpy()[ov_ref]
+                np.testing.assert_allclose(
+                    a, b, rtol=1e-4, atol=1e-4, err_msg=f"case {case} {key}"
+                )
