@@ -28,6 +28,12 @@ class DecoderOutput(NamedTuple):
 class DecoderSplattingCfg:
     background_color: tuple[float, float, float] = (0.0, 0.0, 0.0)
     backend: str = "auto"
+    # Average tile-instances budgeted per gaussian (Pallas backend). Real
+    # scenes average ~3-4 touched tiles per gaussian; 8 leaves ample headroom
+    # while keeping the instance layout (and its gather/scatter cost) ~2x the
+    # live count instead of the exact 16x bound. Overflow is counted and
+    # dropped, never corrupting. None = exact bound.
+    instance_budget_per_gaussian: float | None = 8.0
 
 
 def decode_splatting(
@@ -61,6 +67,11 @@ def decode_splatting(
     bg = jnp.broadcast_to(
         jnp.asarray(cfg.background_color, jnp.float32), (b * v, 3)
     )
+    budget = (
+        None
+        if cfg.instance_budget_per_gaussian is None
+        else int(cfg.instance_budget_per_gaussian * gaussians.means.shape[1])
+    )
     color = render(
         bv(extrinsics),
         bv(intrinsics),
@@ -73,6 +84,7 @@ def decode_splatting(
         rep(gaussians.harmonics),
         rep(gaussians.opacities),
         backend=cfg.backend,
+        instance_budget=budget,
     )
     color = color.reshape(b, v, *color.shape[1:])
 

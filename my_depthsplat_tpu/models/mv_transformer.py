@@ -5,7 +5,9 @@ Re-design of reference src/model/encoder/unimatch/mv_transformer.py:
 - window split/merge are reshapes; shifted windows via jnp.roll
 - cross-view attention: each view's queries attend to the other views' tokens
   (or a kNN subset through nn_idx), stacked along the key axis
-- the shifted-window mask is computed statically in numpy
+- the shifted-window mask derives from a small static region-id table; the
+  (L, L) additive mask itself is built on device (a host literal is multi-GB
+  at large resolutions)
 
 Semantics match the reference layer math: single-head q/k/v (no bias) + merge
 + post-LayerNorm, FFN on concat(source, message), residual adds.
@@ -24,10 +26,12 @@ from .layers import Dense
 
 
 @lru_cache(maxsize=None)
-def shifted_window_mask(
-    h: int, w: int, splits: int
-) -> np.ndarray:
-    """(K*K, L, L) additive mask (0 / -100) for shifted-window attention."""
+def shifted_window_regions(h: int, w: int, splits: int) -> np.ndarray:
+    """(K*K, L) int32 region ids per window token for shifted-window
+    attention. Kept SMALL on purpose: the (K*K, L, L) additive mask is built
+    on device by a traced comparison — materializing it as a host literal
+    inlines a multi-GB mostly-zero constant into the program at large
+    resolutions (it broke remote compiles at 512x960)."""
     wh, ww = h // splits, w // splits
     sh, sw = wh // 2, ww // 2
     img = np.zeros((h, w), np.int32)
@@ -37,11 +41,20 @@ def shifted_window_mask(
             img[hs, ws] = cnt
             cnt += 1
     # split into windows: (K, wh, K, ww) -> (K*K, wh*ww)
-    win = img.reshape(splits, wh, splits, ww).transpose(0, 2, 1, 3).reshape(
+    return img.reshape(splits, wh, splits, ww).transpose(0, 2, 1, 3).reshape(
         splits * splits, wh * ww
     )
-    diff = win[:, None, :] - win[:, :, None]
-    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def shifted_window_mask(h: int, w: int, splits: int, m: int = 1) -> Array:
+    """(K*K, L, m*L) additive mask (0 / -100), built on device. The kv tokens
+    are tiled VIEW-major (matching the reference's `attn_mask.repeat(b,1,m)`,
+    mv_transformer.py:134)."""
+    win = jnp.asarray(shifted_window_regions(h, w, splits))  # (KK, L)
+    diff = win[:, :, None] != win[:, None, :]  # (KK, L, L) traced
+    if m > 1:
+        diff = jnp.tile(diff, (1, 1, m))
+    return jnp.where(diff, -100.0, 0.0)
 
 
 def _split_windows(x: Array, splits: int) -> Array:
@@ -95,10 +108,9 @@ def _window_attention(
 
     scores = jnp.einsum("...lc,...sc->...ls", qw, kw) / (c**0.5)
     if with_shift:
-        mask = jnp.asarray(
-            np.tile(shifted_window_mask(h, w, splits), (1, 1, m)), scores.dtype
+        scores = scores + shifted_window_mask(h, w, splits, m).astype(
+            scores.dtype
         )
-        scores = scores + mask
     attn = nn.softmax(scores, axis=-1)
     out = jnp.einsum("...ls,...sc->...lc", attn, vw)
     return _merge_windows_roll_back(out, splits, h, w, with_shift)

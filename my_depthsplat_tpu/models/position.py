@@ -43,8 +43,14 @@ def add_position_in_windows(
     h, w, c = features.shape[-3:]
     if attn_splits > 1:
         wh, ww = h // attn_splits, w // attn_splits
-        pos = _position_embedding_np(wh, ww, c // 2)
-        pos = np.tile(pos, (attn_splits, attn_splits, 1))
+        pos = jnp.asarray(
+            _position_embedding_np(wh, ww, c // 2), dtype=features.dtype
+        )
+        # tile on DEVICE: a host tile would inline an attn_splits^2-times
+        # larger literal into the program
+        pos = jnp.tile(pos, (attn_splits, attn_splits, 1))
     else:
-        pos = _position_embedding_np(h, w, c // 2)
-    return features + jnp.asarray(pos, dtype=features.dtype)
+        pos = jnp.asarray(
+            _position_embedding_np(h, w, c // 2), dtype=features.dtype
+        )
+    return features + pos

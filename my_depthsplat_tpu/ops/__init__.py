@@ -1,5 +1,9 @@
 from .interpolate import resize_bilinear, resize_nearest
-from .grid_sample import grid_sample_bilinear, warp_with_pose_depth_candidates
+from .grid_sample import (
+    grid_sample_bilinear,
+    take_rows,
+    warp_with_pose_depth_candidates,
+)
 
 __all__ = [
     "grid_sample_bilinear",

@@ -10,8 +10,43 @@ align_corners=True). Layout is channels-last.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
+
+
+@jax.custom_vjp
+def take_rows(table: Array, idx: Array) -> Array:
+    """Batched row gather: (B, N, C) f32 table, (B, M) int32 indices ->
+    (B, M, C).
+
+    TPU-tuned: `jnp.take_along_axis(..., axis=1)` lowers to a per-ELEMENT
+    gather (~1 element/cycle — 537 ms for one plane-sweep warp at 256x256);
+    a row-form gather is per-INDEX bound (~10 cycles/row), and 16-bit tables
+    gather another ~4x faster, so the forward round-trips the table through
+    an exact f32 <-> 2xu16 bitcast. The backward is the f32 scatter-add
+    transpose. Gradients flow to `table` only (idx is integer)."""
+    b, n, c = table.shape
+    u16 = jax.lax.bitcast_convert_type(table, jnp.uint16).reshape(b, n, 2 * c)
+    rows = jax.vmap(lambda t, i: t[i])(u16, idx)  # (B, M, 2C)
+    return jax.lax.bitcast_convert_type(
+        rows.reshape(b, idx.shape[1], c, 2), jnp.float32
+    )
+
+
+def _take_rows_fwd(table, idx):
+    return take_rows(table, idx), (idx, table.shape)
+
+
+def _take_rows_bwd(res, g):
+    idx, (b, n, c) = res
+    d_table = jax.vmap(
+        lambda gi, ii: jnp.zeros((n, c), g.dtype).at[ii].add(gi)
+    )(g, idx)
+    return d_table, None
+
+
+take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
 
 
 def grid_sample_bilinear(feature: Array, grid: Array) -> Array:
@@ -35,15 +70,14 @@ def grid_sample_bilinear(feature: Array, grid: Array) -> Array:
     wx0 = 1.0 - wx1
     wy0 = 1.0 - wy1
 
+    flat = feature.reshape(b, h * w, c)
+
     def tap(xi: Array, yi: Array, wgt: Array) -> Array:
         inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
         xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
         yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
-        flat = feature.reshape(b, h * w, c)
-        idx = yi_c * w + xi_c  # (B, Ho, Wo)
-        vals = jnp.take_along_axis(
-            flat, idx.reshape(b, -1, 1), axis=1
-        ).reshape(idx.shape + (c,))
+        idx = (yi_c * w + xi_c).reshape(b, -1)  # (B, Ho*Wo)
+        vals = take_rows(flat, idx).reshape(xi.shape + (c,))
         return vals * (wgt * inb)[..., None]
 
     out = (

@@ -48,10 +48,19 @@ def render(
     scale_invariant: bool = True,
     use_sh: bool = True,
     backend: Backend = "auto",
+    instance_budget: int | None = None,
 ) -> Array:
-    """Differentiable 3DGS render -> (B, h, w, 3) images (channels-last)."""
+    """Differentiable 3DGS render -> (B, h, w, 3) images (channels-last).
+
+    instance_budget caps the Pallas backend's tile-instance layout per batch
+    element (overflow is counted and dropped); None keeps the exact
+    G*max_tiles_per_gaussian bound, whose gather/scatter cost is usually
+    5-10x the live instance count. Ignored by the oracle."""
     assert use_sh or gaussian_sh_coefficients.shape[-1] == 1
     impl = _resolve_backend(backend)
+    kwargs = {}
+    if impl is not render_oracle and instance_budget is not None:
+        kwargs["instance_budget"] = instance_budget
     return impl(
         extrinsics,
         intrinsics,
@@ -65,6 +74,7 @@ def render(
         gaussian_opacities,
         scale_invariant=scale_invariant,
         use_sh=use_sh,
+        **kwargs,
     )
 
 

@@ -105,3 +105,53 @@ def test_plane_sweep_warp_matches_torch_reference_semantics():
     ).view(b, c, d, h, w).numpy()
     theirs = np.moveaxis(theirs, 1, -1)  # (b, d, h, w, c)
     np.testing.assert_allclose(ours, theirs, atol=1e-4)
+
+
+def test_grid_sample_gradients_match_dense_reference():
+    """take_rows' custom VJP (u16 gather fwd, f32 scatter bwd) must produce
+    the same gradients as a plain differentiable gather implementation."""
+    import jax
+
+    rng = np.random.default_rng(3)
+    b, h, w, c = 2, 7, 9, 5
+    feat = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    grid = jnp.asarray(rng.uniform(-1.2, 1.2, size=(b, 4, 6, 2)).astype(np.float32))
+    cot = jnp.asarray(rng.normal(size=(b, 4, 6, c)).astype(np.float32))
+
+    def ref_sample(feature, g):
+        bb, hh, ww, cc = feature.shape
+        gx = (g[..., 0] + 1.0) * 0.5 * (ww - 1)
+        gy = (g[..., 1] + 1.0) * 0.5 * (hh - 1)
+        x0, y0 = jnp.floor(gx), jnp.floor(gy)
+        x1, y1 = x0 + 1.0, y0 + 1.0
+        wx1, wy1 = gx - x0, gy - y0
+        wx0, wy0 = 1.0 - wx1, 1.0 - wy1
+        flat = feature.reshape(bb, hh * ww, cc)
+
+        def tap(xi, yi, wgt):
+            inb = (xi >= 0) & (xi <= ww - 1) & (yi >= 0) & (yi <= hh - 1)
+            xi_c = jnp.clip(xi, 0, ww - 1).astype(jnp.int32)
+            yi_c = jnp.clip(yi, 0, hh - 1).astype(jnp.int32)
+            idx = yi_c * ww + xi_c
+            vals = jnp.take_along_axis(
+                flat, idx.reshape(bb, -1, 1), axis=1
+            ).reshape(idx.shape + (cc,))
+            return vals * (wgt * inb)[..., None]
+
+        return (
+            tap(x0, y0, wx0 * wy0) + tap(x1, y0, wx1 * wy0)
+            + tap(x0, y1, wx0 * wy1) + tap(x1, y1, wx1 * wy1)
+        )
+
+    def loss(f, g, sampler):
+        return jnp.sum(sampler(f, g) * cot)
+
+    gf, gg = jax.grad(lambda f, g: loss(f, g, grid_sample_bilinear), (0, 1))(feat, grid)
+    rf, rg = jax.grad(lambda f, g: loss(f, g, ref_sample), (0, 1))(feat, grid)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(rf), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(rg), atol=1e-5)
+    # forward exactness
+    np.testing.assert_array_equal(
+        np.asarray(grid_sample_bilinear(feat, grid)),
+        np.asarray(ref_sample(feat, grid)),
+    )
