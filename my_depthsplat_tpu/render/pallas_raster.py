@@ -45,11 +45,19 @@ from .camera import (
     TRANSMITTANCE_EPS,
     scale_invariant_normalization,
 )
-from .instances import PACKED_ROWS, build_tile_instances_batched
+from .instances import (
+    PACKED_ROWS,
+    TileInstances,
+    build_tile_instances_batched,
+)
 from .projection import project_gaussians
 
 CHUNK = 256
 _ALIGN = 128  # Mosaic lane-slice alignment for HBM DMA windows
+# Max gaussians per view-group so the pack-VJP scatter accumulator
+# (PACKED_ROWS x rows x 4 B) stays inside the fast-cache regime (~16 MB on
+# v5e; measured cliff: 15 ns/index below, 100+ ns above).
+_SCATTER_ACC_ROWS_FAST = 262_144
 _NPIX = TILE * TILE
 _OUTC = 8  # r, g, b, t_final, n_contrib, pad, pad, pad
 
@@ -480,10 +488,45 @@ def render_pallas(
         gaussian_means, gaussian_covariances,
         gaussian_sh_coefficients, gaussian_opacities,
     )
-    inst = build_tile_instances_batched(
-        sg, image_shape, max_tiles_per_gaussian, CHUNK, instance_budget
-    )
     b = extrinsics.shape[0]
+    g = gaussian_means.shape[1]
+
+    # Group views so each group's scatter-add accumulator (the pack VJP's
+    # (PACKED_ROWS, group*G) f32 table) stays <= ~16 MB: the measured v5e
+    # scatter rate degrades ~7x (15 -> 100+ ns/index) once the accumulator
+    # crosses that cache boundary. Groups are processed in a static python
+    # loop (a batched/vmapped scatter hits the slow path regardless of size).
+    group = max(1, min(b, _SCATTER_ACC_ROWS_FAST // max(g, 1)))
+    if b % group != 0:
+        group = 1
+    if group == b:
+        inst = build_tile_instances_batched(
+            sg, image_shape, max_tiles_per_gaussian, CHUNK, instance_budget
+        )
+    else:
+        packed, gid, starts, counts = [], [], [], []
+        dropped = jnp.zeros((), jnp.int32)
+        offset = 0
+        for v0 in range(0, b, group):
+            sg_g = jax.tree.map(lambda x: x[v0 : v0 + group], sg)
+            part = build_tile_instances_batched(
+                sg_g, image_shape, max_tiles_per_gaussian, CHUNK,
+                instance_budget,
+            )
+            packed.append(part.packed)
+            gid.append(part.gaussian_id)
+            starts.append(part.starts + offset)
+            counts.append(part.counts)
+            dropped = dropped + part.num_dropped
+            offset += part.packed.shape[1]
+        inst = TileInstances(
+            packed=jnp.concatenate(packed, axis=1),
+            gaussian_id=jnp.concatenate(gid),
+            starts=jnp.concatenate(starts),
+            counts=jnp.concatenate(counts),
+            grid_hw=part.grid_hw,
+            num_dropped=dropped,
+        )
     gy, gx = (h + TILE - 1) // TILE, (w + TILE - 1) // TILE
     raw = composite_tiles(
         inst.packed, inst.starts, inst.counts, background_color, (b, gy, gx)

@@ -30,7 +30,20 @@ def main() -> None:
     h = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     w = int(sys.argv[3]) if len(sys.argv) > 3 else 960
 
-    cfg = ge._encoder_cfg(tiny=False)
+    if len(sys.argv) > 4 and sys.argv[4] == "small":
+        cfg = ge._encoder_cfg(tiny=False)
+    else:
+        # the reference's 512x960 video-rendering config (README.md:115-135):
+        # gs-base = vitb, num_scales=2, upsample_factor=4, lowest res 1/8
+        from dataclasses import replace
+
+        cfg = replace(
+            ge._encoder_cfg(tiny=False),
+            num_scales=2,
+            upsample_factor=4,
+            lowest_feature_resolution=8,
+            monodepth_vit_type="vitb",
+        )
     batch = ge._make_batch(b=1, v_ctx=v_ctx, v_tgt=1, h=h, w=w)
     encoder = EncoderDepthSplat(cfg)
     shapes = jax.eval_shape(
@@ -50,8 +63,14 @@ def main() -> None:
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
     print(f"params: {n_params/1e6:.1f}M", flush=True)
 
+    encoder_only = "encoder_only" in sys.argv
+
     def forward(params, batch):
         out = encoder.apply(params, batch["context"], training=False)
+        if encoder_only:
+            # the reference's 0.6 s headline is feed-forward RECONSTRUCTION
+            # (images -> gaussians); rendering frames is a separate step
+            return out["gaussians"].means
         dec = decode_splatting(
             DecoderSplattingCfg(),
             out["gaussians"],

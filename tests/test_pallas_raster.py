@@ -123,6 +123,48 @@ def test_deep_stack_sticky_termination():
     )
 
 
+def test_view_grouped_layout_matches_oracle(monkeypatch):
+    """Force the view-grouping path (used when B*G exceeds the fast-scatter
+    accumulator size) and check image + gradient parity with the oracle."""
+    rng = np.random.default_rng(5)
+    b, g, h, w = 4, 50, 32, 32
+    extr = np.broadcast_to(np.eye(4, dtype=np.float32), (b, 4, 4)).copy()
+    extr[:, 0, 3] = 0.1 * np.arange(b)
+    intr = np.broadcast_to(
+        np.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]], np.float32),
+        (b, 3, 3),
+    )
+    means = np.stack(
+        [rng.uniform(-1, 1, (b, g)), rng.uniform(-1, 1, (b, g)),
+         rng.uniform(2, 6, (b, g))], -1,
+    ).astype(np.float32)
+    scales = rng.uniform(0.03, 0.12, (b, g, 3)).astype(np.float32)
+    cov = np.zeros((b, g, 3, 3), np.float32)
+    for i in range(3):
+        cov[..., i, i] = scales[..., i] ** 2
+    sh = (rng.normal(size=(b, g, 3, 9)) * 0.3).astype(np.float32)
+    opac = rng.uniform(0.3, 0.9, (b, g)).astype(np.float32)
+    near = np.ones((b,), np.float32)
+    far = np.full((b,), 100.0, np.float32)
+    bg = np.tile(np.array([[0.2, 0.1, 0.3]], np.float32), (b, 1))
+    args = tuple(map(jnp.asarray, (extr, intr, near, far, bg, means, cov, sh, opac)))
+
+    monkeypatch.setattr(pallas_raster, "_SCATTER_ACC_ROWS_FAST", g)  # group=1
+    img_p = pallas_raster.render_pallas(*args[:4], (h, w), args[4], *args[5:])
+    img_o = render_oracle(*args[:4], (h, w), args[4], *args[5:])
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_o), atol=5e-5)
+
+    def loss(renderer, o):
+        return jnp.sum(renderer(*args[:4], (h, w), args[4], args[5], args[6], args[7], o) ** 2)
+
+    gp = jax.grad(lambda o: loss(pallas_raster.render_pallas, o))(args[8])
+    go = jax.grad(lambda o: loss(render_oracle, o))(args[8])
+    scale = np.abs(np.asarray(go)).max() + 1e-8
+    np.testing.assert_allclose(
+        np.asarray(gp) / scale, np.asarray(go) / scale, atol=5e-4
+    )
+
+
 def test_starved_instance_budget():
     """Regression: a budget far below the live instance count truncates runs
     so that many tiles end up empty with out-of-range insertion-point starts.
