@@ -52,6 +52,14 @@ class EncoderDepthSplatCfg:
     costvolume_unet_attn_res: tuple[int, ...] = ()
     multiview_trans_attn_split: int = 2
     monodepth_vit_type: str = "vits"
+    # UniMatch branch only: 1x1-project the 1/8-res ViT features to this many
+    # channels BEFORE upsampling to full resolution for the gaussian
+    # regressor/head. The reference fork never wires unimatch features into
+    # the regressor (its active PromptDA branch feeds raw 384-dim features),
+    # so this path is ours to design: carrying the raw embed dim (up to 1024)
+    # at full resolution costs ~20 GB of activations at 12 views x 512x960.
+    # None = raw embed-dim features (PromptDA-style).
+    regressor_feature_channels: int | None = 64
     local_mv_match: int = 2
     spmd_depth_axis: str | None = None  # shard plane-sweep hypotheses (mesh axis)
     shim_patch_size: int = 4
@@ -127,6 +135,14 @@ class EncoderDepthSplat(nn.Module):
             )
             feats_18 = results["features_mono_intermediate"][-1]
             feats_18 = feats_18.reshape(b * v, *feats_18.shape[2:])
+            if (
+                cfg.regressor_feature_channels is not None
+                and feats_18.shape[-1] > cfg.regressor_feature_channels
+            ):
+                feats_18 = Conv(
+                    cfg.regressor_feature_channels, 1, padding=0,
+                    name="feature_proj",
+                )(feats_18)
             features = resize_bilinear(feats_18, (h, w), align_corners=True)
 
         depth_preds = results["depth_preds"]  # list of (B, V, H, W)
