@@ -34,9 +34,11 @@ def main() -> None:
 
         from my_depthsplat_tpu.render.pallas_raster import render_pallas
 
-        # Average tiles/gaussian in this scene is ~3.4; 8x leaves headroom
-        # while halving the instance-layout arrays.
-        render = partial(render_pallas, instance_budget=8 * 256 * 256)
+        # ~2.6 live tiles/gaussian in this scene after exact ellipse-tile
+        # culling (683k instances for 262k gaussians); 6x leaves ~15%
+        # headroom while shrinking the pack-VJP scatter (the #1 cost, paid
+        # per layout lane).
+        render = partial(render_pallas, instance_budget=6 * 256 * 256)
     else:
         from my_depthsplat_tpu.render import render
 

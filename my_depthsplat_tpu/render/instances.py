@@ -48,7 +48,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from .camera import TILE
+from .camera import ALPHA_MIN, TILE
 from .projection import ScreenGaussians
 
 # Packed per-instance rows (f32): x, y, conic_a, conic_b, conic_c, opacity,
@@ -67,49 +67,92 @@ class TileInstances(NamedTuple):
 
 
 def _to_u16(x: Array) -> Array:
-    """(R, N) f32 -> (2R, N) u16, rows interleaved [lo0, hi0, lo1, hi1, ...].
-    Exact: a pure bitcast (little-endian pair per f32)."""
+    """(R, N) f32 -> (2R, N) u16, block layout [lo rows | hi rows]. Exact: a
+    pure bitcast (little-endian pair per f32). 2-D tables keep the gather on
+    the measured fast path (3-D tables with a leading batch dim gather ~3x
+    slower), and the block layout means the inverse needs only contiguous
+    slices (x[0::2]-style strided slices lower to per-row gathers)."""
     r, n = x.shape
     pairs = jax.lax.bitcast_convert_type(x, jnp.uint16)  # (R, N, 2)
-    return pairs.transpose(0, 2, 1).reshape(2 * r, n)
+    return pairs.transpose(2, 0, 1).reshape(2 * r, n)
 
 
 def _from_u16(x: Array) -> Array:
-    """(2R, N) u16 -> (R, N) f32 (inverse of _to_u16)."""
-    lo = x[0::2].astype(jnp.uint32)
-    hi = x[1::2].astype(jnp.uint32)
+    """(2R, N) u16 [lo rows | hi rows] -> (R, N) f32 (inverse of _to_u16)."""
+    r = x.shape[0] // 2
+    lo = x[:r].astype(jnp.uint32)
+    hi = x[r:].astype(jnp.uint32)
     w = (hi << 16) | lo
     return jax.lax.bitcast_convert_type(w.astype(jnp.int32), jnp.float32)
 
 
 @jax.custom_vjp
-def _pack_rows(rows: Array, slot_idx: Array, order: Array, inv_order: Array):
-    """rows (PACKED_ROWS, BG) f32 in gaussian order -> (PACKED_ROWS, L) f32
-    at depth-sorted slots ``slot_idx``: rows[:, order[slot_idx]], computed as
-    two 16-bit gathers (permute to slot space, then pack lanes)."""
-    rows_u16 = _to_u16(rows)  # (2R, BG)
-    slot_u16 = rows_u16[:, order]  # (2R, BG) permute to slot space
-    return _from_u16(slot_u16[:, slot_idx])  # (R, L)
+def _permute_rows(rows: Array, order: Array, inv_order: Array):
+    """rows (PACKED_ROWS, BG) f32 in gaussian order -> (PACKED_ROWS, BG) f32
+    in depth-sorted slot space: rows[:, order], as one u16 gather. The VJP is
+    the exact inverse permutation (another u16 gather — XLA's default
+    transpose of a gather is a far slower scatter-add)."""
+    return _from_u16(_to_u16(rows)[:, order])
 
 
-def _pack_rows_fwd(rows, slot_idx, order, inv_order):
-    return _pack_rows(rows, slot_idx, order, inv_order), (
-        slot_idx,
-        inv_order,
-        rows.shape[1],
-    )
+def _permute_rows_fwd(rows, order, inv_order):
+    return _permute_rows(rows, order, inv_order), (inv_order,)
 
 
-def _pack_rows_bwd(res, g):
-    slot_idx, inv_order, bg_count = res
-    # f32 scatter-add per lane is the one unavoidable arithmetic reduction;
-    # the permutation back to gaussian order is an exact u16 gather.
+def _permute_rows_bwd(res, g):
+    (inv_order,) = res
+    return _from_u16(_to_u16(g)[:, inv_order]), None, None
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+@jax.custom_vjp
+def _pack_lanes(rows_slot: Array, slot_idx: Array):
+    """rows_slot (PACKED_ROWS, BG) f32 in slot space -> (PACKED_ROWS, L) f32
+    per-instance lanes: rows_slot[:, slot_idx] as one u16 gather."""
+    return _from_u16(_to_u16(rows_slot)[:, slot_idx])
+
+
+def _pack_lanes_fwd(rows_slot, slot_idx):
+    return _pack_lanes(rows_slot, slot_idx), (slot_idx, rows_slot.shape[1])
+
+
+def _pack_lanes_bwd(res, g):
+    slot_idx, bg_count = res
+    # f32 scatter-add per lane is the one unavoidable arithmetic reduction.
     d_slot = jnp.zeros((g.shape[0], bg_count), g.dtype).at[:, slot_idx].add(g)
-    d_rows = _from_u16(_to_u16(d_slot)[:, inv_order])
-    return d_rows, None, None, None
+    return d_slot, None
 
 
-_pack_rows.defvjp(_pack_rows_fwd, _pack_rows_bwd)
+_pack_lanes.defvjp(_pack_lanes_fwd, _pack_lanes_bwd)
+
+
+def _rect_quadratic_min(ca, cb, cc, x0, x1, y0, y1):
+    """Min of q(x, y) = ca*x^2 + 2*cb*x*y + cc*y^2 over the box
+    [x0, x1] x [y0, y1], assuming the conic (ca, cb; cb, cc) is positive
+    definite. Elementwise over any broadcastable shapes.
+
+    If the origin is inside the box the min is 0; otherwise it lies on the
+    boundary, and on each edge the 1-D quadratic has a closed-form clamped
+    minimizer (e.g. on x = xe: y* = clip(-cb*xe/cc, y0, y1))."""
+    inside = (x0 <= 0.0) & (x1 >= 0.0) & (y0 <= 0.0) & (y1 >= 0.0)
+    ca_s = jnp.where(ca > 0.0, ca, 1.0)
+    cc_s = jnp.where(cc > 0.0, cc, 1.0)
+
+    def edge_x(xe):
+        ye = jnp.clip(-cb * xe / cc_s, y0, y1)
+        return ca * xe * xe + 2.0 * cb * xe * ye + cc * ye * ye
+
+    def edge_y(ye):
+        xe = jnp.clip(-cb * ye / ca_s, x0, x1)
+        return ca * xe * xe + 2.0 * cb * xe * ye + cc * ye * ye
+
+    q_edge = jnp.minimum(
+        jnp.minimum(edge_x(x0), edge_x(x1)),
+        jnp.minimum(edge_y(y0), edge_y(y1)),
+    )
+    return jnp.where(inside, 0.0, q_edge)
 
 
 def build_tile_instances_batched(
@@ -141,7 +184,6 @@ def build_tile_instances_batched(
     r = max_tiles_per_gaussian
     bg_count = b * g
     n_tiles_total = b * n_tiles
-    n_cand = bg_count * r
 
     rect_w = sg.rect_max[..., 0] - sg.rect_min[..., 0]  # (B, G)
     rect_h = sg.rect_max[..., 1] - sg.rect_min[..., 1]
@@ -182,14 +224,128 @@ def build_tile_instances_batched(
     rw_s, area_s = rect_s[:, 2], rect_s[:, 3]
     valid_s, vid_s = rect_s[:, 4] > 0, rect_s[:, 5]
 
-    # ---- 3. expand candidate tiles in depth-sorted slot order
-    j = jnp.arange(r, dtype=jnp.int32)
-    tx = rmin_x_s[:, None] + j[None, :] % rw_s[:, None]  # (BG, R)
-    ty = rmin_y_s[:, None] + j[None, :] // rw_s[:, None]
-    inst_valid = (j[None, :] < area_s[:, None]) & valid_s[:, None]
-    tile_id = jnp.where(
-        inst_valid, ty * grid_x + tx + (vid_s * n_tiles)[:, None], n_tiles_total
-    ).astype(jnp.int32)
+    # ---- 2b. per-instance screen rows, permuted once to slot space (exact
+    # u16 gather with an exact-gather VJP). Reused by the cull test below and
+    # by the lane pack in step 6.
+    rows = jnp.concatenate(
+        [
+            jnp.stack(
+                [
+                    sg.xy[..., 0].reshape(-1),
+                    sg.xy[..., 1].reshape(-1),
+                    sg.conic[..., 0].reshape(-1),
+                    sg.conic[..., 1].reshape(-1),
+                    sg.conic[..., 2].reshape(-1),
+                    sg.opacity.reshape(-1),
+                    sg.color[..., 0].reshape(-1),
+                    sg.color[..., 1].reshape(-1),
+                    sg.color[..., 2].reshape(-1),
+                ]
+            ),
+            jnp.zeros((PACKED_ROWS - _N_DATA_ROWS, bg_count), jnp.float32),
+        ]
+    )  # (PACKED_ROWS, BG)
+    rows_slot = _permute_rows(rows, order, inv_order)
+
+    # ---- 3. expand candidate tiles in depth-sorted slot order, in two
+    # tiers. Most gaussians touch <= T1 tiles, so expanding every slot to the
+    # full per-gaussian cap R wastes ~R/avg_tiles of the candidate sort (its
+    # cost is per element, live or not). Tier 1 expands ALL slots to their
+    # first T1 bbox tiles; tier 2 compacts the slots whose bbox area exceeds
+    # T1 to a static-size prefix (one cheap BG-length sort) and expands only
+    # those to tiles [T1, R). (tile, slot) pairs stay unique across tiers, so
+    # one packed sort of the concatenated candidates reproduces the same
+    # depth-ordered runs as the flat (BG, R) expansion.
+    cull = jax.lax.stop_gradient(rows_slot)
+    xs, ys = cull[0], cull[1]
+    ca_q, cb_q, cc_q, op_q = cull[2], cull[3], cull[4], cull[5]
+    # exact ellipse-tile cull threshold. The compositing kernel gates every
+    # contribution on alpha = min(0.99, op*exp(-q/2)) >= ALPHA_MIN, so a
+    # candidate whose quadratic form q exceeds 2*ln(op/ALPHA_MIN) over the
+    # WHOLE tile rect is an exact zero in both the forward and the backward
+    # — dropping it is output-invariant. The min over the continuous rect
+    # lower-bounds the min over pixel centers (conservative), and a small
+    # slack on the threshold absorbs f32 rounding differences vs the
+    # kernel's exp-based test. The CUDA pipeline bins by the circular-radius
+    # bbox only; for anisotropic gaussians this cuts most corner tiles.
+    pd = (ca_q > 0.0) & (cc_q > 0.0) & (ca_q * cc_q - cb_q * cb_q > 0.0)
+    thr = 2.0 * jnp.log(jnp.maximum(op_q, 1e-12) / ALPHA_MIN) + 1e-3
+
+    def expand(j, slot_ids, rmin_x, rmin_y, rw, area, valid, vid,
+               xs_, ys_, ca_, cb_, cc_, pd_, thr_):
+        """Candidate tiles j (J, 1) for slots (1, S) with their per-slot
+        screen columns (1, S); returns (tile_id, slot) flattened to (J*S,).
+        Everything is (J, S)-shaped — minor dim = slots — so the arrays tile
+        the 128-lane registers densely ((S, J) with J ~ 4 pads 32x). Culled
+        and invalid candidates carry the sentinel tile id."""
+        tx = rmin_x + j % rw
+        ty = rmin_y + j // rw
+        ok = (j < area) & valid
+        x0 = (tx * TILE).astype(jnp.float32) - xs_
+        y0 = (ty * TILE).astype(jnp.float32) - ys_
+        qmin = _rect_quadratic_min(
+            ca_, cb_, cc_,
+            x0, x0 + float(TILE - 1), y0, y0 + float(TILE - 1),
+        )
+        ok &= jnp.where(pd_, qmin <= thr_, True)
+        tid = jnp.where(ok, ty * grid_x + tx + vid * n_tiles, n_tiles_total)
+        slot = jnp.broadcast_to(slot_ids, tid.shape)
+        return tid.astype(jnp.int32).reshape(-1), slot.reshape(-1)
+
+    t1 = min(4, r)
+    all_slots = jnp.arange(bg_count, dtype=jnp.int32)
+    j1 = jnp.arange(t1, dtype=jnp.int32)[:, None]
+    row = lambda x: x[None, :]
+    tile_id_1, slot_1 = expand(
+        j1, row(all_slots),
+        row(rmin_x_s), row(rmin_y_s), row(rw_s),
+        row(area_s), row(valid_s), row(vid_s),
+        row(xs), row(ys), row(ca_q), row(cb_q), row(cc_q), row(pd), row(thr),
+    )
+    if r > t1:
+        # compact "big" slots (bbox area > T1, still valid) to a prefix of
+        # static length big_cap; excess big slots lose their tier-2 tiles
+        # (counted as dropped, deepest-first by the stable depth order).
+        big_cap = min(bg_count, max(128, bg_count // 4))
+        is_small = jnp.where(valid_s & (area_s > t1), 0, 1).astype(jnp.int32)
+        _, big_slots_full = jax.lax.sort(
+            (is_small, all_slots), num_keys=1, is_stable=True
+        )
+        n_big = jnp.sum(1 - is_small)
+        big_slots = big_slots_full[:big_cap]  # (big_cap,)
+        big_live = jnp.arange(big_cap, dtype=jnp.int32) < n_big
+        rect_b = rect_u16[order[big_slots]].astype(jnp.int32)
+        # big-slot screen columns with ONE u16 gather (a per-column f32
+        # gather costs 3-4x more per index)
+        cull_b = _from_u16(_to_u16(cull)[:, big_slots])
+        xs_b, ys_b = cull_b[0], cull_b[1]
+        ca_b, cb_b, cc_b, op_b = cull_b[2], cull_b[3], cull_b[4], cull_b[5]
+        pd_b = (ca_b > 0.0) & (cc_b > 0.0) & (ca_b * cc_b - cb_b * cb_b > 0.0)
+        thr_b = 2.0 * jnp.log(jnp.maximum(op_b, 1e-12) / ALPHA_MIN) + 1e-3
+        j2 = jnp.arange(t1, r, dtype=jnp.int32)[:, None]
+        tile_id_2, slot_2 = expand(
+            j2, row(big_slots),
+            row(rect_b[:, 0]), row(rect_b[:, 1]),
+            row(jnp.maximum(rect_b[:, 2], 1)),
+            row(rect_b[:, 3]), row(big_live), row(rect_b[:, 5]),
+            row(xs_b), row(ys_b), row(ca_b), row(cb_b), row(cc_b),
+            row(pd_b), row(thr_b),
+        )
+        tile_id_flat = jnp.concatenate([tile_id_1, tile_id_2])
+        slot_flat = jnp.concatenate([slot_1, slot_2])
+        # tier-2 capacity overflow: tiles [t1, area) of big slots past the cap
+        over = jnp.where(
+            (1 - is_small) == 1,
+            jnp.maximum(area_s, t1) - t1,
+            0,
+        )
+        cum_big = jnp.cumsum(1 - is_small)  # rank of each big slot (1-based)
+        num_dropped = num_dropped + jnp.sum(
+            jnp.where(cum_big > big_cap, over, 0)
+        )
+    else:
+        tile_id_flat, slot_flat = tile_id_1, slot_1
+    n_cand = tile_id_flat.shape[0]
 
     # ---- 4. ONE sort by tile groups each tile's instances; within-tile
     # order = slot order = depth order (the CUDA [tile|depth] radix sort).
@@ -203,17 +359,18 @@ def build_tile_instances_batched(
         # fast path: pack (tile, slot) into one int32 key — ~4x faster than a
         # two-operand sort on TPU. Slot ids of the live prefix come back out
         # of the keys elementwise (no gather).
-        slot_flat = jnp.broadcast_to(
-            jnp.arange(bg_count, dtype=jnp.int32)[:, None], (bg_count, r)
-        ).reshape(-1)
-        key = (tile_id.reshape(-1) << slot_bits) | slot_flat
+        key = (tile_id_flat << slot_bits) | slot_flat
         (sorted_key,) = jax.lax.sort((key,), num_keys=1)
-        run_starts = jnp.searchsorted(
-            sorted_key, tiles << slot_bits, side="left"
+        # one searchsorted over T+1 boundaries: end of tile t == start of
+        # tile t+1 on packed keys (searchsorted lowers to a ~21-step while
+        # loop of tiny ops, so one call beats two).
+        bounds = jnp.searchsorted(
+            sorted_key,
+            jnp.arange(n_tiles_total + 1, dtype=jnp.int32) << slot_bits,
+            side="left",
         ).astype(jnp.int32)
-        run_ends = jnp.searchsorted(
-            sorted_key, (tiles + 1) << slot_bits, side="left"
-        ).astype(jnp.int32)
+        run_starts = bounds[:-1]
+        run_ends = bounds[1:]
         key_prefix = jnp.pad(
             sorted_key[:cap], (0, chunk),
             constant_values=jnp.iinfo(jnp.int32).max,
@@ -221,11 +378,11 @@ def build_tile_instances_batched(
         slot_prefix = key_prefix & slot_mask
         lane_dead = key_prefix >= (n_tiles_total << slot_bits)
     else:
-        slot_flat = jnp.broadcast_to(
-            jnp.arange(bg_count, dtype=jnp.int32)[:, None], (bg_count, r)
-        ).reshape(-1)
+        # slow path (only when (tile, slot) cannot pack into int32): the slot
+        # must be a real second key — the tiered candidate array is not
+        # generation-ordered by slot.
         sorted_tid, sorted_slot = jax.lax.sort(
-            (tile_id.reshape(-1), slot_flat), num_keys=1, is_stable=True
+            (tile_id_flat, slot_flat), num_keys=2, is_stable=True
         )
         run_starts = jnp.searchsorted(sorted_tid, tiles, side="left").astype(
             jnp.int32
@@ -247,30 +404,13 @@ def build_tile_instances_batched(
     counts = counts_kept
 
     # ---- 6. pack per-instance screen rows: one u16 gather per lane with a
-    # custom VJP (f32 scatter-add + u16 inverse-permutation gather).
+    # custom VJP (f32 scatter-add; the permutation back to gaussian order is
+    # _permute_rows' exact u16 gather).
     slot_safe = jnp.where(lane_dead, 0, slot_prefix)
-    rows = jnp.concatenate(
-        [
-            jnp.stack(
-                [
-                    sg.xy[..., 0].reshape(-1),
-                    sg.xy[..., 1].reshape(-1),
-                    sg.conic[..., 0].reshape(-1),
-                    sg.conic[..., 1].reshape(-1),
-                    sg.conic[..., 2].reshape(-1),
-                    sg.opacity.reshape(-1),
-                    sg.color[..., 0].reshape(-1),
-                    sg.color[..., 1].reshape(-1),
-                    sg.color[..., 2].reshape(-1),
-                ]
-            ),
-            jnp.zeros((PACKED_ROWS - _N_DATA_ROWS, bg_count), jnp.float32),
-        ]
-    )  # (PACKED_ROWS, BG)
     # Dead lanes (sentinel candidates + slack tail) gather arbitrary rows —
     # harmless: no tile's count reaches them, so the kernels mask them and
     # their gradient chunks stay zero.
-    packed = _pack_rows(rows, slot_safe, order, inv_order)
+    packed = _pack_lanes(rows_slot, slot_safe)
 
     # Only consumed by direct callers (tests/debug) — DCE'd in the render
     # path, where the kernel reads `packed` alone.

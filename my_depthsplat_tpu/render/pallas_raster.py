@@ -176,8 +176,9 @@ def _fwd_kernel(
         a, _, _, _, gate = _chunk_alpha(data, px, py, lane_mask)
 
         log1m = jnp.log(1.0 - a)  # a <= 0.99 so this is finite
-        p_full = p_raw * jnp.exp(_lane_cumsum(log1m, inclusive=True))
-        p_prev = p_raw * jnp.exp(_lane_cumsum(log1m, inclusive=False))
+        cs = _lane_cumsum(log1m, inclusive=True)
+        p_full = p_raw * jnp.exp(cs)
+        p_prev = p_raw * jnp.exp(cs - log1m)  # exclusive scan, for free
         include = p_full >= TRANSMITTANCE_EPS
         weight = jnp.where(include, a * p_prev, 0.0)  # (NPIX, CHUNK)
 
