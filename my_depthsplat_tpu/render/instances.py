@@ -204,6 +204,9 @@ def build_tile_instances_batched(
 
     # ---- 2. rect/validity data to slot space with ONE u16 row gather
     # (fields are small integers; u16 gathers are 3-4x faster than i32).
+    # (8, BG)-shaped — rows-major so per-field access is a contiguous slice;
+    # a (BG, 8) table reads back through minor-dim-8 slices that pad the
+    # 128-lane tile 16x.
     vid = iota // g
     area_c = jnp.minimum(area.reshape(-1), r)
     rect_u16 = jnp.stack(
@@ -214,15 +217,14 @@ def build_tile_instances_batched(
             area_c,
             sg.valid.reshape(-1).astype(jnp.int32),
             vid,
-            jnp.zeros((bg_count,), jnp.int32),
-            jnp.zeros((bg_count,), jnp.int32),
         ],
-        axis=1,
-    ).astype(jnp.uint16)  # (BG, 8)
-    rect_s = rect_u16[order].astype(jnp.int32)  # (BG, 8) in slot space
-    rmin_x_s, rmin_y_s = rect_s[:, 0], rect_s[:, 1]
-    rw_s, area_s = rect_s[:, 2], rect_s[:, 3]
-    valid_s, vid_s = rect_s[:, 4] > 0, rect_s[:, 5]
+        axis=0,
+    ).astype(jnp.uint16)  # (6, BG)
+    rect_s_u16 = rect_u16[:, order]  # (6, BG) in slot space
+    rect_s = rect_s_u16.astype(jnp.int32)
+    rmin_x_s, rmin_y_s = rect_s[0], rect_s[1]
+    rw_s, area_s = rect_s[2], rect_s[3]
+    valid_s, vid_s = rect_s[4] > 0, rect_s[5]
 
     # ---- 2b. per-instance screen rows, permuted once to slot space (exact
     # u16 gather with an exact-gather VJP). Reused by the cull test below and
@@ -271,15 +273,20 @@ def build_tile_instances_batched(
     pd = (ca_q > 0.0) & (cc_q > 0.0) & (ca_q * cc_q - cb_q * cb_q > 0.0)
     thr = 2.0 * jnp.log(jnp.maximum(op_q, 1e-12) / ALPHA_MIN) + 1e-3
 
-    def expand(j, slot_ids, rmin_x, rmin_y, rw, area, valid, vid,
+    def expand(j, jmax, slot_ids, rmin_x, rmin_y, rw, area, valid, vid,
                xs_, ys_, ca_, cb_, cc_, pd_, thr_):
         """Candidate tiles j (J, 1) for slots (1, S) with their per-slot
         screen columns (1, S); returns (tile_id, slot) flattened to (J*S,).
         Everything is (J, S)-shaped — minor dim = slots — so the arrays tile
         the 128-lane registers densely ((S, J) with J ~ 4 pads 32x). Culled
         and invalid candidates carry the sentinel tile id."""
-        tx = rmin_x + j % rw
-        ty = rmin_y + j // rw
+        # j // rw and j % rw as comparison sums: j < jmax is tiny, and
+        # variable int32 div/rem lowers to a long VPU sequence.
+        jdiv = jnp.zeros(jnp.broadcast_shapes(j.shape, rw.shape), jnp.int32)
+        for k in range(1, jmax):
+            jdiv = jdiv + (j >= k * rw).astype(jnp.int32)
+        ty = rmin_y + jdiv
+        tx = rmin_x + (j - jdiv * rw)
         ok = (j < area) & valid
         x0 = (tx * TILE).astype(jnp.float32) - xs_
         y0 = (ty * TILE).astype(jnp.float32) - ys_
@@ -297,7 +304,7 @@ def build_tile_instances_batched(
     j1 = jnp.arange(t1, dtype=jnp.int32)[:, None]
     row = lambda x: x[None, :]
     tile_id_1, slot_1 = expand(
-        j1, row(all_slots),
+        j1, t1, row(all_slots),
         row(rmin_x_s), row(rmin_y_s), row(rw_s),
         row(area_s), row(valid_s), row(vid_s),
         row(xs), row(ys), row(ca_q), row(cb_q), row(cc_q), row(pd), row(thr),
@@ -314,7 +321,7 @@ def build_tile_instances_batched(
         n_big = jnp.sum(1 - is_small)
         big_slots = big_slots_full[:big_cap]  # (big_cap,)
         big_live = jnp.arange(big_cap, dtype=jnp.int32) < n_big
-        rect_b = rect_u16[order[big_slots]].astype(jnp.int32)
+        rect_b = rect_s_u16[:, big_slots].astype(jnp.int32)
         # big-slot screen columns with ONE u16 gather (a per-column f32
         # gather costs 3-4x more per index)
         cull_b = _from_u16(_to_u16(cull)[:, big_slots])
@@ -324,10 +331,10 @@ def build_tile_instances_batched(
         thr_b = 2.0 * jnp.log(jnp.maximum(op_b, 1e-12) / ALPHA_MIN) + 1e-3
         j2 = jnp.arange(t1, r, dtype=jnp.int32)[:, None]
         tile_id_2, slot_2 = expand(
-            j2, row(big_slots),
-            row(rect_b[:, 0]), row(rect_b[:, 1]),
-            row(jnp.maximum(rect_b[:, 2], 1)),
-            row(rect_b[:, 3]), row(big_live), row(rect_b[:, 5]),
+            j2, r, row(big_slots),
+            row(rect_b[0]), row(rect_b[1]),
+            row(jnp.maximum(rect_b[2], 1)),
+            row(rect_b[3]), row(big_live), row(rect_b[5]),
             row(xs_b), row(ys_b), row(ca_b), row(cb_b), row(cc_b),
             row(pd_b), row(thr_b),
         )
