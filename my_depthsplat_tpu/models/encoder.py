@@ -62,6 +62,7 @@ class EncoderDepthSplatCfg:
     regressor_feature_channels: int | None = 64
     local_mv_match: int = 2
     spmd_depth_axis: str | None = None  # shard plane-sweep hypotheses (mesh axis)
+    spmd_view_axis: str | None = None  # shard context views (ring attention)
     shim_patch_size: int = 4
     downscale_factor: int = 4
 
@@ -122,6 +123,7 @@ class EncoderDepthSplat(nn.Module):
                 unet_channel_mult=tuple(cfg.costvolume_unet_channel_mult),
                 unet_attn_resolutions=tuple(cfg.costvolume_unet_attn_res),
                 spmd_depth_axis=cfg.spmd_depth_axis,
+                spmd_view_axis=cfg.spmd_view_axis,
                 name="depth_predictor",
             )(
                 images,

@@ -138,25 +138,40 @@ def _full_attention(q: Array, k: Array, v: Array) -> Array:
 
 
 class AttentionLayer(nn.Module):
-    """q/k/v projection + windowed attention + merge/norm (+ optional FFN)."""
+    """q/k/v projection + windowed attention + merge/norm (+ optional FFN).
+
+    With ``ring_axis`` set, ``target`` is the full per-view feature map
+    (B, V, H, W, C) — no (V, V-1) gather — and the attention core runs as a
+    ring over the view-sharded mesh axis (parallel/ring.py); k/v are
+    projected once per view instead of V-1 times."""
 
     d_model: int
     no_ffn: bool = False
     ffn_dim_expansion: int = 4
     with_shift: bool = False
+    ring_axis: str | None = None
 
     @nn.compact
     def __call__(
         self,
         source: Array,  # (..., H, W, C)
-        target: Array,  # (..., M, H, W, C)
+        target: Array,  # (..., M, H, W, C); (B, V, H, W, C) if ring_axis
         attn_splits: int = 1,
     ) -> Array:
         q = Dense(self.d_model, use_bias=False, name="q_proj")(source)
         k = Dense(self.d_model, use_bias=False, name="k_proj")(target)
         v = Dense(self.d_model, use_bias=False, name="v_proj")(target)
 
-        if attn_splits > 1:
+        if self.ring_axis is not None:
+            from ..parallel.ring import ring_cross_view_attention
+
+            splits = attn_splits if attn_splits > 1 else 1
+            message = ring_cross_view_attention(
+                q, k, v, self.ring_axis,
+                splits=splits,
+                with_shift=self.with_shift and splits > 1,
+            )
+        elif attn_splits > 1:
             message = _window_attention(q, k, v, attn_splits, self.with_shift)
         else:
             message = _full_attention(q, k, v)
@@ -179,6 +194,7 @@ class MultiViewTransformerBlock(nn.Module):
     d_model: int
     ffn_dim_expansion: int = 4
     with_shift: bool = False
+    view_shard_axis: str | None = None
 
     @nn.compact
     def __call__(self, x: Array, kv_idx: Array | None, attn_splits: int) -> Array:
@@ -201,6 +217,18 @@ class MultiViewTransformerBlock(nn.Module):
         )(x, x[:, :, None], attn_splits)
 
         # Cross-attention: kv from the other views (all V-1 or kNN subset).
+        # View-sharded: skip the (V, V-1) kv gather entirely — the ring core
+        # rotates each chip's k/v block with ppermute (parallel/ring.py).
+        if self.view_shard_axis is not None and kv_idx is None:
+            x = AttentionLayer(
+                self.d_model,
+                no_ffn=False,
+                ffn_dim_expansion=self.ffn_dim_expansion,
+                with_shift=self.with_shift,
+                ring_axis=self.view_shard_axis,
+                name="cross_attn_ffn",
+            )(x, x_pre, attn_splits)
+            return x
         if kv_idx is None:
             # all other views: build (V, V-1) static index table
             idx = np.stack([
@@ -241,6 +269,11 @@ class MultiViewFeatureTransformer(nn.Module):
     num_layers: int = 6
     d_model: int = 128
     ffn_dim_expansion: int = 4
+    # When set (a mesh axis name), context views are sharded over that axis
+    # and cross-attention runs as a ppermute ring (parallel/ring.py) instead
+    # of gathering a (V, V-1) kv tensor. Incompatible with nn_idx (kNN view
+    # subsets gather across shards); the kNN path falls back to gathers.
+    view_shard_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -256,6 +289,9 @@ class MultiViewFeatureTransformer(nn.Module):
                 self.d_model,
                 self.ffn_dim_expansion,
                 with_shift=(i % 2 == 1),
+                view_shard_axis=(
+                    None if kv_idx is not None else self.view_shard_axis
+                ),
                 name=f"layer_{i}",
             )(x, kv_idx, attn_splits)
         return x

@@ -72,6 +72,11 @@ class MultiViewUniMatch(nn.Module):
     # warps and correlates a slice of the D hypotheses (SURVEY.md §2.4 — the
     # cost volume is the natural ICI-sharded dimension).
     spmd_depth_axis: str | None = None
+    # When set, context views are sharded over that mesh axis and the
+    # multi-view transformer's cross-attention runs as a ppermute ring
+    # (parallel/ring.py) — no (V, V-1) kv gather. Requires V divisible by
+    # the axis size and nn_idx=None.
+    spmd_view_axis: str | None = None
 
     @nn.compact
     def __call__(
@@ -113,6 +118,7 @@ class MultiViewUniMatch(nn.Module):
         features_mv = MultiViewFeatureTransformer(
             num_layers=self.num_transformer_layers,
             d_model=self.feature_channels,
+            view_shard_axis=self.spmd_view_axis,
             name="transformer",
         )(feat0, attn_splits=attn_splits, nn_idx=nn_idx)
 

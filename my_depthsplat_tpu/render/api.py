@@ -26,7 +26,16 @@ def _resolve_backend(backend: Backend):
             from .pallas_raster import render_pallas  # lazy; TPU-only fast path
             import jax
 
-            if backend == "pallas" or jax.default_backend() == "tpu":
+            on_tpu = jax.default_backend() == "tpu"
+            # Inside jax.sharding.set_mesh(...) the computation runs on the
+            # mesh's devices, which may differ from the default backend
+            # (e.g. a virtual CPU mesh in a TPU-attached process). The
+            # abstract mesh is queryable both inside and outside jit.
+            mesh = jax.sharding.get_abstract_mesh()
+            kind = getattr(getattr(mesh, "abstract_device", None), "device_kind", None)
+            if not mesh.empty and kind is not None:
+                on_tpu = "tpu" in str(kind).lower()
+            if backend == "pallas" or on_tpu:
                 return render_pallas
         except ImportError:
             if backend == "pallas":
