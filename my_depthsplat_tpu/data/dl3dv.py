@@ -15,7 +15,7 @@ from typing import Iterator, Optional
 import numpy as np
 
 from ..geometry_np import get_fov_np
-from .re10k import _load_chunk, convert_poses, decode_jpeg
+from .re10k import _load_chunk, convert_poses, decode_jpeg_batch
 from .shims import apply_augmentation_shim, apply_crop_shim
 from .view_samplers import SkipExample, Stage
 
@@ -129,11 +129,13 @@ class DatasetDL3DV:
                     continue
 
                 try:
-                    ctx_images = np.stack(
-                        [decode_jpeg(ex["images"][i]) for i in ctx_idx]
+                    # native threaded decode; its PIL fallback preserves the
+                    # per-image OSError that skips corrupt examples
+                    ctx_images = decode_jpeg_batch(
+                        [ex["images"][i] for i in ctx_idx]
                     )
-                    tgt_images = np.stack(
-                        [decode_jpeg(ex["images"][i]) for i in tgt_idx]
+                    tgt_images = decode_jpeg_batch(
+                        [ex["images"][i] for i in tgt_idx]
                     )
                 except OSError:
                     continue

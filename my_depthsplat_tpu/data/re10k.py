@@ -62,6 +62,25 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     return np.asarray(img).astype(np.float32) / 255.0
 
 
+def decode_jpeg_batch(buffers: list[bytes]) -> np.ndarray:
+    """Decode same-sized RGB JPEGs to (N, H, W, 3) float32 in [0, 1].
+
+    Uses the native threaded decoder (native/dataload.cpp, bit-identical to
+    the PIL path — both are libjpeg) and falls back to per-image PIL when
+    it is unavailable, sizes are mixed, or an image is corrupt (the PIL
+    retry surfaces the original exception semantics)."""
+    from .. import native
+
+    if buffers:
+        dims = native.jpeg_dims(buffers[0])
+        if dims is not None and dims[2] == 3:
+            h, w, _ = dims
+            out = native.decode_jpeg_batch(buffers, h, w)
+            if out is not None:
+                return out.astype(np.float32) / 255.0
+    return np.stack([decode_jpeg(b) for b in buffers])
+
+
 def _load_chunk(path: Path) -> list[dict]:
     import torch
 
@@ -138,8 +157,8 @@ class DatasetRE10k:
                 if (np.degrees(get_fov_np(intrinsics)) > self.cfg.max_fov).any():
                     continue
 
-                ctx_images = np.stack([decode_jpeg(ex["images"][i]) for i in ctx_idx])
-                tgt_images = np.stack([decode_jpeg(ex["images"][i]) for i in tgt_idx])
+                ctx_images = decode_jpeg_batch([ex["images"][i] for i in ctx_idx])
+                tgt_images = decode_jpeg_batch([ex["images"][i] for i in tgt_idx])
 
                 if self.cfg.skip_bad_shape and self.cfg.expected_shape is not None:
                     exp = self.cfg.expected_shape

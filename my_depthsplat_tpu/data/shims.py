@@ -20,6 +20,19 @@ def _rescale_lanczos(image: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
     return np.asarray(out).astype(np.float32) / 255.0
 
 
+def _rescale_lanczos_batch(images: np.ndarray, shape: tuple[int, int]) -> np.ndarray:
+    """(V, H, W, 3) float batch resize: the native threaded resampler when
+    available (bit-identical to PIL — see native/dataload.cpp), else PIL."""
+    from .. import native
+
+    h, w = shape
+    arr = np.clip(images * 255.0, 0, 255).astype(np.uint8)
+    out = native.resize_lanczos_batch(arr, h, w)
+    if out is None:
+        return np.stack([_rescale_lanczos(im, shape) for im in images])
+    return out.astype(np.float32) / 255.0
+
+
 def _center_crop(images, intrinsics, shape, depths=None):
     h_in, w_in = images.shape[-3:-1]
     h_out, w_out = shape
@@ -42,7 +55,7 @@ def rescale_and_crop(images, intrinsics, shape, depths=None):
     scale = max(h_out / h_in, w_out / w_in)
     h_s, w_s = round(h_in * scale), round(w_in * scale)
     assert h_s == h_out or w_s == w_out
-    images = np.stack([_rescale_lanczos(im, (h_s, w_s)) for im in images])
+    images = _rescale_lanczos_batch(images, (h_s, w_s))
     if depths is not None:
         # bilinear align_corners=True (crop_shim.py:97-103)
         from ..ops import resize_bilinear
