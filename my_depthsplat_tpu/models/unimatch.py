@@ -22,7 +22,11 @@ import jax.numpy as jnp
 import numpy as np
 from jax import Array
 
-from ..ops import resize_bilinear, warp_with_pose_depth_candidates
+from ..ops import (
+    plane_sweep_correlation,
+    resize_bilinear,
+    warp_with_pose_depth_candidates,
+)
 from .backbone import CNNEncoder
 from .dpt import DPTUpsamplerHead
 from .layers import Conv
@@ -43,6 +47,20 @@ def _other_view_indices(v: int) -> np.ndarray:
     return np.stack(
         [[j for j in range(v) if j != i] for i in range(v)]
     ).astype(np.int32)
+
+
+def sweep_correlation_flat(
+    src: Array,  # (N, h, w, C)
+    ref: Array,  # (N, h, w, C)
+    intr: Array,  # (N, 3, 3) pixel intrinsics
+    pose: Array,  # (N, 4, 4) ref -> source
+    inv_depth_cand: Array,  # (N, D, h, w) INVERSE depth candidates
+) -> Array:
+    """Fused plane-sweep warp + correlation (NOT /sqrt(C)) for flattened
+    (batch*view*source) groups; candidates arrive as inverse depths (the
+    cost-volume convention here). Feature-major gathers — the warped feature
+    tensor never materializes (ops/grid_sample.py:plane_sweep_correlation)."""
+    return plane_sweep_correlation(src, ref, intr, pose, 1.0 / inv_depth_cand)
 
 
 def gather_source_views(x: Array, idx: Array) -> Array:
@@ -77,6 +95,13 @@ class MultiViewUniMatch(nn.Module):
     # (parallel/ring.py) — no (V, V-1) kv gather. Requires V divisible by
     # the axis size and nn_idx=None.
     spmd_view_axis: str | None = None
+    # Peak bytes allowed for the plane-sweep warped-features tensor
+    # (B*V*M, D, h, w, C). Beyond this the sweep runs as a lax.scan over
+    # depth-candidate chunks, correlating each chunk immediately — same
+    # math, O(D/chunks) memory (12-view 512x960 would otherwise need ~12 GB
+    # of warped features + a 24 GB gather-index tensor and OOM a 16 GB
+    # chip). Ignored when spmd_depth_axis shards D across chips.
+    plane_sweep_max_bytes: int = 2 * 1024**3
 
     @nn.compact
     def __call__(
@@ -224,28 +249,63 @@ class MultiViewUniMatch(nn.Module):
             # (mv_unimatch:477-490 passes the ref view's K into the warp).
             intr_rep = jnp.broadcast_to(intr_s[:, :, None], (b, v, m, 3, 3))
 
+            bvm = b * v * m
+            src_flat = src_feats.reshape(bvm, hs, ws, c)
+            intr_flat = intr_rep.reshape(bvm, 3, 3)
+            pose_flat = rel_pose.reshape(bvm, 4, 4)
+            feats_rep = jnp.broadcast_to(
+                feats[:, :, None], (b, v, m, hs, ws, c)
+            ).reshape(bvm, hs, ws, c)
+            # Fused warp + correlation (ops plane_sweep_correlation): each
+            # bilinear tap is one flat 16-bit column gather and the dot with
+            # the ref features happens tap-by-tap — the (BVM, D, h, w, C)
+            # warped tensor never materializes. `sweep_bytes` tracks the
+            # per-tap gather output (C, BVM*D*hw); beyond the budget the
+            # depth candidates are scanned in chunks (same math).
+            sweep_bytes = 4 * bvm * num_d * hs * ws * c
+            cand_flat = cand_rep.reshape(bvm, num_d, hs, ws)
             if self.spmd_depth_axis is not None:
                 from jax.sharding import PartitionSpec as _P
 
-                cand_rep = jax.lax.with_sharding_constraint(
-                    cand_rep, _P(None, None, None, self.spmd_depth_axis)
+                cand_flat = jax.lax.with_sharding_constraint(
+                    cand_flat, _P(None, self.spmd_depth_axis)
                 )
-            warped = warp_with_pose_depth_candidates(
-                src_feats.reshape(b * v * m, hs, ws, c),
-                intr_rep.reshape(b * v * m, 3, 3),
-                rel_pose.reshape(b * v * m, 4, 4),
-                1.0 / cand_rep.reshape(b * v * m, num_d, hs, ws),
-            ).reshape(b, v, m, num_d, hs, ws, c)
-            if self.spmd_depth_axis is not None:
-                from jax.sharding import PartitionSpec as _P
-
-                warped = jax.lax.with_sharding_constraint(
-                    warped, _P(None, None, None, self.spmd_depth_axis)
+                corr = sweep_correlation_flat(
+                    src_flat, feats_rep, intr_flat, pose_flat, cand_flat
+                )
+                corr = jax.lax.with_sharding_constraint(
+                    corr, _P(None, self.spmd_depth_axis)
+                )
+            elif sweep_bytes > self.plane_sweep_max_bytes:
+                n_chunks = 1
+                while (
+                    sweep_bytes // n_chunks > self.plane_sweep_max_bytes
+                    and n_chunks < num_d
+                ):
+                    n_chunks *= 2
+                while num_d % n_chunks:
+                    n_chunks //= 2
+                dc = num_d // n_chunks
+                cand_cs = jnp.moveaxis(
+                    cand_flat.reshape(bvm, n_chunks, dc, hs, ws), 1, 0
                 )
 
-            # correlation / sqrt(C), mean over source views (mv_unimatch:500-505)
+                def sweep_step(_, cand_c):
+                    return None, sweep_correlation_flat(
+                        src_flat, feats_rep, intr_flat, pose_flat, cand_c
+                    )
+
+                _, corr_cs = jax.lax.scan(sweep_step, None, cand_cs)
+                corr = jnp.moveaxis(corr_cs, 0, 1).reshape(
+                    bvm, num_d, hs, ws
+                )
+            else:
+                corr = sweep_correlation_flat(
+                    src_flat, feats_rep, intr_flat, pose_flat, cand_flat
+                )
+            # / sqrt(C), mean over source views (mv_unimatch:500-505)
             cost = (
-                jnp.einsum("bvhwc,bvmdhwc->bvmdhw", feats, warped) / c**0.5
+                corr.reshape(b, v, m, num_d, hs, ws) / c**0.5
             ).mean(axis=2)
             cost = jnp.moveaxis(cost, 2, -1)  # (B, V, hs, ws, D)
 

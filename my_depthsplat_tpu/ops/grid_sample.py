@@ -89,6 +89,111 @@ def grid_sample_bilinear(feature: Array, grid: Array) -> Array:
     return out
 
 
+@jax.custom_vjp
+def _gather_cols(table: Array, idx: Array) -> Array:
+    """Feature-major column gather: (C, N) f32 table, (M,) int32 -> (C, M).
+
+    The fast TPU form: one flat (no batch dim) gather along the minor axis of
+    a 16-bit table — measured ~6 ns/index at C=128 vs ~33 ns/row for a
+    vmap-batched row gather of the same data (which also materializes a
+    (M, 2C) u32 intermediate: 24 GB at 12-view 512x960 scale). The table
+    round-trips an exact f32 <-> 2xu16 bitcast; the VJP is the f32
+    scatter-add transpose."""
+    c, n = table.shape
+    pairs = jax.lax.bitcast_convert_type(table, jnp.uint16)  # (C, N, 2)
+    u16 = pairs.transpose(2, 0, 1).reshape(2 * c, n)  # [lo rows | hi rows]
+    g = u16[:, idx]  # (2C, M)
+    lo = g[:c].astype(jnp.uint32)
+    hi = g[c:].astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(
+        ((hi << 16) | lo).astype(jnp.int32), jnp.float32
+    )
+
+
+def _gather_cols_fwd(table, idx):
+    return _gather_cols(table, idx), (idx, table.shape)
+
+
+def _gather_cols_bwd(res, g):
+    idx, (c, n) = res
+    return jnp.zeros((c, n), g.dtype).at[:, idx].add(g), None
+
+
+_gather_cols.defvjp(_gather_cols_fwd, _gather_cols_bwd)
+
+
+def plane_sweep_correlation(
+    src: Array,  # (B, H, W, C) source-view features
+    ref: Array,  # (B, H, W, C) reference-view features
+    intrinsics: Array,  # (B, 3, 3) pixel intrinsics
+    pose: Array,  # (B, 4, 4) relative pose (source_w2c @ ref_c2w)
+    depth: Array,  # (B, D, H, W) depth candidates per ref pixel
+    clamp_min_depth: float = 1e-3,
+) -> Array:
+    """Fused plane-sweep warp + correlation: sum_c ref[p, c] *
+    bilinear(src)[warp_d(p), c], returned as (B, D, H, W). NOT divided by
+    sqrt(C) — callers apply their own normalization.
+
+    Equivalent to warp_with_pose_depth_candidates followed by an einsum with
+    ref, but feature-major throughout: the (B, D, H, W, C) warped tensor is
+    never materialized (it is ~12 GB at 12-view 512x960), and each bilinear
+    tap is one flat 16-bit column gather (the measured fast path)."""
+    b, d, h, w = depth.shape
+    c = src.shape[-1]
+    gx, gy, inb_template = _warp_pixel_coords(
+        intrinsics, pose, depth, h, w, clamp_min_depth
+    )  # (B, D, HW) pixel coords
+
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    wx1 = gx - x0
+    wy1 = gy - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    src_maj = src.reshape(b * h * w, c).T  # (C, B*HW)
+    # ref in feature-major, broadcast over D inside the tap loop
+    ref_maj = ref.reshape(b, h * w, c).transpose(2, 0, 1)  # (C, B, HW)
+
+    base = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None, None]
+    cost = jnp.zeros((b, d, h * w), src.dtype)
+    for xi, yi, wgt in (
+        (x0, y0, wx0 * wy0),
+        (x0 + 1.0, y0, wx1 * wy0),
+        (x0, y0 + 1.0, wx0 * wy1),
+        (x0 + 1.0, y0 + 1.0, wx1 * wy1),
+    ):
+        inb = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        idx = (base + yi_c * w + xi_c).reshape(-1)  # (B*D*HW,)
+        vals = _gather_cols(src_maj, idx).reshape(c, b, d, h * w)
+        dot = jnp.einsum("cbp,cbdp->bdp", ref_maj, vals)
+        cost = cost + dot * (wgt * inb)
+    return cost.reshape(b, d, h, w)
+
+
+def _warp_pixel_coords(intrinsics, pose, depth, h, w, clamp_min_depth):
+    """Shared plane-sweep projection: returns source-view pixel coords
+    gx, gy of shape (B, D, HW) (plus None placeholder for symmetry)."""
+    b, d = depth.shape[:2]
+    dtype = depth.dtype
+    xs = jnp.arange(w, dtype=dtype)
+    ys = jnp.arange(h, dtype=dtype)
+    mx, my = jnp.meshgrid(xs, ys)
+    grid = jnp.stack([mx, my, jnp.ones_like(mx)], axis=0).reshape(3, h * w)
+
+    k_inv = jnp.linalg.inv(intrinsics)
+    points = jnp.einsum("bij,jn->bin", k_inv, grid)
+    points = jnp.einsum("bij,bjn->bin", pose[:, :3, :3], points)
+    points = points[:, :, None, :] * depth.reshape(b, 1, d, h * w)
+    points = points + pose[:, :3, 3][:, :, None, None]
+    points = jnp.einsum("bij,bjn->bin", intrinsics, points.reshape(b, 3, -1))
+    points = points.reshape(b, 3, d, h * w)
+    pixel = points[:, :2] / jnp.maximum(points[:, 2:3], clamp_min_depth)
+    return pixel[:, 0], pixel[:, 1], None
+
+
 def warp_with_pose_depth_candidates(
     feature: Array,  # (B, H, W, C) source-view features
     intrinsics: Array,  # (B, 3, 3) PIXEL-unit intrinsics (like the reference here)

@@ -229,3 +229,51 @@ def test_encoder_multiscale_intermediate_supervision():
     # 2 scales -> 2 depth preds -> batch doubled for intermediate supervision
     assert out["depths"].shape == (2, 2, 32, 32)
     assert out["gaussians"].means.shape[0] == 2
+
+
+def test_plane_sweep_depth_chunking_exact():
+    """The lax.scan depth-chunked cost volume (big-scene memory path)
+    matches the unchunked sweep (bit-exact on TPU; the CPU backend
+    reassociates the correlation einsum slightly differently)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from my_depthsplat_tpu.models.unimatch import MultiViewUniMatch
+
+    rng = np.random.default_rng(0)
+    b, v, h, w = 1, 3, 32, 64
+    imgs = jnp.asarray(rng.uniform(0, 1, (b, v, h, w, 3)).astype(np.float32))
+    intr = np.broadcast_to(
+        np.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]], np.float32),
+        (b, v, 3, 3),
+    ).copy()
+    extr = np.broadcast_to(np.eye(4, dtype=np.float32), (b, v, 4, 4)).copy()
+    for i in range(v):
+        extr[:, i, 0, 3] = 0.1 * i
+    mind = jnp.full((b, v), 1 / 50.0)
+    maxd = jnp.full((b, v), 1 / 0.5)
+
+    def run(max_bytes):
+        m = MultiViewUniMatch(
+            num_scales=1,
+            upsample_factor=4,
+            lowest_feature_resolution=4,
+            num_depth_candidates=32,
+            vit_type="vits",
+            unet_channels=32,
+            plane_sweep_max_bytes=max_bytes,
+        )
+        params = m.init(
+            jax.random.key(0), imgs, jnp.asarray(intr), jnp.asarray(extr),
+            mind, maxd,
+        )
+        out = m.apply(
+            params, imgs, jnp.asarray(intr), jnp.asarray(extr), mind, maxd
+        )
+        return out["depth_preds"][-1]
+
+    np.testing.assert_allclose(
+        np.asarray(run(2 * 1024**3)), np.asarray(run(1)),
+        rtol=1e-4, atol=1e-5,
+    )

@@ -155,3 +155,56 @@ def test_grid_sample_gradients_match_dense_reference():
         np.asarray(grid_sample_bilinear(feat, grid)),
         np.asarray(ref_sample(feat, grid)),
     )
+
+
+def test_plane_sweep_correlation_matches_warp_einsum():
+    """The fused feature-major warp+dot equals the composition of
+    warp_with_pose_depth_candidates and an einsum, values and gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from my_depthsplat_tpu.ops import (
+        plane_sweep_correlation,
+        warp_with_pose_depth_candidates,
+    )
+
+    rng = np.random.default_rng(0)
+    b, h, w, c, d = 2, 12, 20, 16, 5
+    src = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    ref = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    intr = np.broadcast_to(
+        np.array([[20.0, 0, 10.0], [0, 12.0, 6.0], [0, 0, 1]], np.float32),
+        (b, 3, 3),
+    )
+    pose = np.broadcast_to(np.eye(4, dtype=np.float32), (b, 4, 4)).copy()
+    pose[:, 0, 3] = 0.2
+    pose[:, 1, 3] = -0.1
+    depth = jnp.asarray(
+        rng.uniform(0.8, 10.0, (b, d, h, w)).astype(np.float32)
+    )
+    intr, pose = jnp.asarray(intr), jnp.asarray(pose)
+
+    def ref_fn(src, ref_):
+        warped = warp_with_pose_depth_candidates(src, intr, pose, depth)
+        return jnp.einsum("bhwc,bdhwc->bdhw", ref_, warped)
+
+    def fused_fn(src, ref_):
+        return plane_sweep_correlation(src, ref_, intr, pose, depth)
+
+    want = ref_fn(src, ref)
+    got = fused_fn(src, ref)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
+
+    g_want = jax.grad(lambda s, r: jnp.sum(jnp.sin(ref_fn(s, r))), (0, 1))(
+        src, ref
+    )
+    g_got = jax.grad(lambda s, r: jnp.sum(jnp.sin(fused_fn(s, r))), (0, 1))(
+        src, ref
+    )
+    for a, b_ in zip(g_got, g_want):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), rtol=5e-5, atol=5e-5
+        )
