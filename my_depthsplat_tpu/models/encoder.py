@@ -63,6 +63,8 @@ class EncoderDepthSplatCfg:
     local_mv_match: int = 2
     spmd_depth_axis: str | None = None  # shard plane-sweep hypotheses (mesh axis)
     spmd_view_axis: str | None = None  # shard context views (ring attention)
+    # plane-sweep gather precision: "float32" (reference-exact) | "bfloat16"
+    sweep_gather_dtype: str = "float32"
     shim_patch_size: int = 4
     downscale_factor: int = 4
 
@@ -124,6 +126,7 @@ class EncoderDepthSplat(nn.Module):
                 unet_attn_resolutions=tuple(cfg.costvolume_unet_attn_res),
                 spmd_depth_axis=cfg.spmd_depth_axis,
                 spmd_view_axis=cfg.spmd_view_axis,
+                sweep_gather_dtype=cfg.sweep_gather_dtype,
                 name="depth_predictor",
             )(
                 images,

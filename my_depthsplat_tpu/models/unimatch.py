@@ -55,12 +55,15 @@ def sweep_correlation_flat(
     intr: Array,  # (N, 3, 3) pixel intrinsics
     pose: Array,  # (N, 4, 4) ref -> source
     inv_depth_cand: Array,  # (N, D, h, w) INVERSE depth candidates
+    gather_dtype=None,
 ) -> Array:
     """Fused plane-sweep warp + correlation (NOT /sqrt(C)) for flattened
     (batch*view*source) groups; candidates arrive as inverse depths (the
     cost-volume convention here). Feature-major gathers — the warped feature
     tensor never materializes (ops/grid_sample.py:plane_sweep_correlation)."""
-    return plane_sweep_correlation(src, ref, intr, pose, 1.0 / inv_depth_cand)
+    return plane_sweep_correlation(
+        src, ref, intr, pose, 1.0 / inv_depth_cand, gather_dtype=gather_dtype
+    )
 
 
 def gather_source_views(x: Array, idx: Array) -> Array:
@@ -102,6 +105,11 @@ class MultiViewUniMatch(nn.Module):
     # of warped features + a 24 GB gather-index tensor and OOM a 16 GB
     # chip). Ignored when spmd_depth_axis shards D across chips.
     plane_sweep_max_bytes: int = 2 * 1024**3
+    # "bfloat16" rounds the features feeding the plane-sweep gather + dot to
+    # bf16 (f32 weights/accumulation): the gather is byte-bound on TPU, so
+    # this halves the sweep's dominant cost at ~1e-3 relative error on the
+    # cost volume. "float32" (default) matches the reference bit-for-bit.
+    sweep_gather_dtype: str = "float32"
 
     @nn.compact
     def __call__(
@@ -262,7 +270,13 @@ class MultiViewUniMatch(nn.Module):
             # warped tensor never materializes. `sweep_bytes` tracks the
             # per-tap gather output (C, BVM*D*hw); beyond the budget the
             # depth candidates are scanned in chunks (same math).
-            sweep_bytes = 4 * bvm * num_d * hs * ws * c
+            gdtype = (
+                jnp.bfloat16
+                if self.sweep_gather_dtype == "bfloat16"
+                else None
+            )
+            itemsize = 2 if gdtype is not None else 4
+            sweep_bytes = itemsize * bvm * num_d * hs * ws * c
             cand_flat = cand_rep.reshape(bvm, num_d, hs, ws)
             if self.spmd_depth_axis is not None:
                 from jax.sharding import PartitionSpec as _P
@@ -271,7 +285,8 @@ class MultiViewUniMatch(nn.Module):
                     cand_flat, _P(None, self.spmd_depth_axis)
                 )
                 corr = sweep_correlation_flat(
-                    src_flat, feats_rep, intr_flat, pose_flat, cand_flat
+                    src_flat, feats_rep, intr_flat, pose_flat, cand_flat,
+                    gather_dtype=gdtype,
                 )
                 corr = jax.lax.with_sharding_constraint(
                     corr, _P(None, self.spmd_depth_axis)
@@ -292,7 +307,8 @@ class MultiViewUniMatch(nn.Module):
 
                 def sweep_step(_, cand_c):
                     return None, sweep_correlation_flat(
-                        src_flat, feats_rep, intr_flat, pose_flat, cand_c
+                        src_flat, feats_rep, intr_flat, pose_flat, cand_c,
+                        gather_dtype=gdtype,
                     )
 
                 _, corr_cs = jax.lax.scan(sweep_step, None, cand_cs)
@@ -301,7 +317,8 @@ class MultiViewUniMatch(nn.Module):
                 )
             else:
                 corr = sweep_correlation_flat(
-                    src_flat, feats_rep, intr_flat, pose_flat, cand_flat
+                    src_flat, feats_rep, intr_flat, pose_flat, cand_flat,
+                    gather_dtype=gdtype,
                 )
             # / sqrt(C), mean over source views (mv_unimatch:500-505)
             cost = (

@@ -30,6 +30,11 @@ def main() -> None:
     h = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     w = int(sys.argv[3]) if len(sys.argv) > 3 else 960
 
+    if "bf16" in sys.argv:
+        # halve the byte-bound plane-sweep gather (see unimatch cfg)
+        sweep_dtype = "bfloat16"
+    else:
+        sweep_dtype = "float32"
     if len(sys.argv) > 4 and sys.argv[4] == "small":
         cfg = ge._encoder_cfg(tiny=False)
     else:
@@ -43,6 +48,7 @@ def main() -> None:
             upsample_factor=4,
             lowest_feature_resolution=8,
             monodepth_vit_type="vitb",
+            sweep_gather_dtype=sweep_dtype,
         )
     batch = ge._make_batch(b=1, v_ctx=v_ctx, v_tgt=1, h=h, w=w)
     encoder = EncoderDepthSplat(cfg)

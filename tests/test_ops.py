@@ -208,3 +208,31 @@ def test_plane_sweep_correlation_matches_warp_einsum():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b_), rtol=5e-5, atol=5e-5
         )
+
+
+def test_plane_sweep_correlation_bf16_close():
+    """bf16 gather mode stays within ~1e-2 relative of the f32 sweep."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from my_depthsplat_tpu.ops import plane_sweep_correlation
+
+    rng = np.random.default_rng(3)
+    b, h, w, c, d = 2, 10, 16, 32, 4
+    src = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    ref = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+    intr = jnp.asarray(
+        np.broadcast_to(
+            np.array([[16.0, 0, 8.0], [0, 10.0, 5.0], [0, 0, 1]], np.float32),
+            (b, 3, 3),
+        )
+    )
+    pose = np.broadcast_to(np.eye(4, dtype=np.float32), (b, 4, 4)).copy()
+    pose[:, 0, 3] = 0.15
+    depth = jnp.asarray(rng.uniform(0.8, 8.0, (b, d, h, w)).astype(np.float32))
+    f32 = plane_sweep_correlation(src, ref, intr, jnp.asarray(pose), depth)
+    b16 = plane_sweep_correlation(
+        src, ref, intr, jnp.asarray(pose), depth, gather_dtype=jnp.bfloat16
+    )
+    scale = float(jnp.abs(f32).max())
+    assert float(jnp.abs(b16 - f32).max()) / scale < 1e-2
