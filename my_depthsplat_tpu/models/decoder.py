@@ -28,12 +28,14 @@ class DecoderOutput(NamedTuple):
 class DecoderSplattingCfg:
     background_color: tuple[float, float, float] = (0.0, 0.0, 0.0)
     backend: str = "auto"
-    # Average tile-instances budgeted per gaussian (Pallas backend). Real
-    # scenes average ~3-4 touched tiles per gaussian; 8 leaves ample headroom
-    # while keeping the instance layout (and its gather/scatter cost) ~2x the
-    # live count instead of the exact 16x bound. Overflow is counted and
-    # dropped, never corrupting. None = exact bound.
-    instance_budget_per_gaussian: float | None = 8.0
+    # Average tile-instances budgeted per gaussian (Pallas backend). With
+    # exact ellipse-tile culling, scenes average ~2.5-3 live tiles per
+    # gaussian and all live instances sort to the layout prefix, so 6 leaves
+    # ample headroom while keeping the instance layout (and its
+    # gather/scatter cost — the #1 render-step cost, paid per layout lane)
+    # ~2x the live count. Overflow is counted and dropped, never corrupting.
+    # None = exact bound.
+    instance_budget_per_gaussian: float | None = 6.0
 
 
 def decode_splatting(

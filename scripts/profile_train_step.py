@@ -38,6 +38,20 @@ def main() -> None:
     jax.block_until_ready(logs["loss/total"])
     jax.profiler.stop_trace()
 
+    import re
+
+    hlo = jax.jit(train_step).lower(state, batch).compile().as_text()
+    src = {}
+    pat = re.compile(
+        r'%(\S+?) = .*?metadata=\{[^}]*?op_name="([^"]*)"'
+        r'(?:[^}]*?source_file="([^"]*)")?(?:[^}]*?source_line=(\d+))?'
+    )
+    for line in hlo.splitlines():
+        m = pat.search(line)
+        if m:
+            name, opn, fl, ln = m.groups()
+            src[name] = (fl or "?", ln or "?", opn.split("/")[-1])
+
     fn = sorted(glob.glob("/tmp/traintrace/plugins/profile/*/vm.trace.json.gz"))[-1]
     with gzip.open(fn) as f:
         tr = json.load(f)
@@ -49,12 +63,16 @@ def main() -> None:
     cnt = defaultdict(int)
     for e in evs:
         if e.get("pid") == 3 and e.get("tid") == 3:
-            agg[e["name"]] += e.get("dur", 0) / 1e3
-            cnt[e["name"]] += 1
+            fl, ln, opn = src.get(
+                e["name"], ("<unattr:%s>" % e["name"].split(".")[0], "", "")
+            )
+            key = f"{fl.split('/')[-1]}:{ln} {opn}"
+            agg[key] += e.get("dur", 0) / 1e3
+            cnt[key] += 1
     rows = sorted(agg.items(), key=lambda kv: -kv[1])
-    for n, t in rows[:35]:
-        print(f"{t:9.3f} ms x{cnt[n]:<4d} {n[:70]}")
-    print(f"rest: {sum(t for _, t in rows[35:]):.1f} ms in {len(rows)-35} ops")
+    for n, t in rows[:45]:
+        print(f"{t:9.3f} ms x{cnt[n]:<5d} {n[:85]}")
+    print(f"rest: {sum(t for _, t in rows[45:]):.1f} ms in {len(rows)-45} keys")
 
 
 if __name__ == "__main__":
