@@ -88,6 +88,25 @@ def _lane_cumsum(x, inclusive=True, reverse=False):
     return acc
 
 
+def _lane_cumprod(x, reverse=False):
+    """Inclusive cumulative product along axis 1 (same doubling scan with
+    multiplies). Direct products replace the exp(cumsum(log(...))) round
+    trip — one transcendental-free scan instead of log + scan + exp."""
+    n = x.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    acc = x
+    shift = 1
+    while shift < n:
+        if reverse:
+            rolled = pltpu.roll(acc, n - shift, axis=1)  # rotate left by shift
+            acc = acc * jnp.where(lane < n - shift, rolled, 1.0)
+        else:
+            rolled = pltpu.roll(acc, shift, axis=1)
+            acc = acc * jnp.where(lane >= shift, rolled, 1.0)
+        shift *= 2
+    return acc
+
+
 def _pixel_coords(ty, tx, dtype=jnp.float32):
     p = jax.lax.broadcasted_iota(jnp.int32, (_NPIX, 1), 0)
     row = p // TILE
@@ -175,10 +194,9 @@ def _fwd_kernel(
         lane_mask = (pos0 >= 0) & (pos0 < count)
         a, _, _, _, gate = _chunk_alpha(data, px, py, lane_mask)
 
-        log1m = jnp.log(1.0 - a)  # a <= 0.99 so this is finite
-        cs = _lane_cumsum(log1m, inclusive=True)
-        p_full = p_raw * jnp.exp(cs)
-        p_prev = p_raw * jnp.exp(cs - log1m)  # exclusive scan, for free
+        om = 1.0 - a  # >= 0.01 (a <= 0.99)
+        p_full = p_raw * _lane_cumprod(om)
+        p_prev = p_full / om  # exclusive scan, for free
         include = p_full >= TRANSMITTANCE_EPS
         weight = jnp.where(include, a * p_prev, 0.0)  # (NPIX, CHUNK)
 
@@ -298,7 +316,7 @@ def _bwd_kernel(
 
         one_minus = jnp.maximum(1.0 - a, 1e-6)
         # suffix product sp_i = prod_{j>=i} (1 - a_j)
-        sp = jnp.exp(_lane_cumsum(jnp.log(one_minus), inclusive=True, reverse=True))
+        sp = _lane_cumprod(one_minus, reverse=True)
         t_i = ta / sp  # (NPIX, CHUNK) transmittance before instance i
         w = a * t_i
 
