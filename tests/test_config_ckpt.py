@@ -86,3 +86,22 @@ def test_partial_load_slots():
     depth_only = load_pretrained_depth(params, loaded)
     assert np.asarray(depth_only["params"]["depth_predictor"]["w"]).sum() == 3
     assert np.asarray(depth_only["params"]["head0"]["w"]).sum() == 0
+
+
+def test_new_encoder_cfg_fields_roundtrip(tmp_path):
+    """spmd/view-sharding and sweep fields flow from YAML to the encoder cfg."""
+    import yaml
+
+    from my_depthsplat_tpu.config import load_config
+
+    base = yaml.safe_load(open("configs/re10k_small.yaml"))
+    base["encoder"]["spmd_view_axis"] = "model"
+    base["encoder"]["sweep_gather_dtype"] = "bfloat16"
+    base["encoder"]["spmd_depth_axis"] = "model"
+    p = tmp_path / "cfg.yaml"
+    yaml.safe_dump(base, open(p, "w"))
+    cfg = load_config(p)
+    enc = cfg.encoder
+    assert enc.spmd_view_axis == "model"
+    assert enc.spmd_depth_axis == "model"
+    assert enc.sweep_gather_dtype == "bfloat16"
