@@ -21,7 +21,7 @@ import numpy as np
 from .config import RootCfg, load_config, to_dict
 from .data import DataLoaderCfg, data_loader, get_view_sampler
 from .data.re10k import DatasetRE10k, DatasetRE10kCfg
-from .parallel import MeshCfg, make_mesh, shard_batch
+from .parallel import MeshCfg, initialize_distributed, make_mesh, shard_batch
 from .train import TrainCfg, make_train_step
 from .train.checkpoints import (
     find_latest_checkpoint,
@@ -69,6 +69,9 @@ def train(cfg: RootCfg) -> None:
     out_dir.mkdir(exist_ok=True, parents=True)
     (out_dir / "config.json").write_text(json.dumps(to_dict(cfg), indent=2, default=str))
 
+    # Multi-host: one SPMD program per host over a pod-wide mesh (the
+    # reference's Lightning DDP/NCCL num_nodes path, main.py:140-156).
+    initialize_distributed()
     mesh = make_mesh(MeshCfg(data=-1, model=1))
     host_id = jax.process_index()
     num_hosts = jax.process_count()

@@ -1,0 +1,52 @@
+"""Multi-host initialization.
+
+The reference scales across nodes with PyTorch Lightning DDP + NCCL launched
+by torchrun-style env vars (reference main.py:140-156, trainer.num_nodes up
+to 8 in scripts/dl3dv_depthsplat_train.sh). The JAX equivalent is
+``jax.distributed.initialize()`` once per host process before any device
+use; after that ``jax.devices()`` spans the pod slice and a single
+``Mesh`` + ``pjit`` program runs SPMD with gradient psums over ICI/DCN.
+
+On TPU pods the coordinator address, process count, and process id are all
+discoverable from the metadata/env, so ``initialize()`` needs no arguments;
+on CPU/GPU fleets the standard JAX env vars
+(JAX_COORDINATOR_ADDRESS/NUM_PROCESSES/PROCESS_ID) or explicit kwargs apply.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def initialize_distributed(require: bool = False) -> bool:
+    """Initialize multi-host JAX when the environment indicates one.
+
+    Returns True when running distributed (process_count > 1 after init).
+    Single-host runs are a no-op (False). Call before creating any arrays.
+
+    Triggers on: explicit JAX coordinator env vars, TPU pod metadata
+    (MEGASCALE_/TPU_WORKER_ env), or ``require=True``.
+    """
+    import jax
+
+    want = require or any(
+        os.environ.get(k)
+        for k in (
+            "JAX_COORDINATOR_ADDRESS",
+            "COORDINATOR_ADDRESS",
+            "MEGASCALE_COORDINATOR_ADDRESS",
+            "TPU_WORKER_HOSTNAMES",
+        )
+    )
+    if not want:
+        return jax.process_count() > 1
+    try:
+        jax.distributed.initialize()
+    except RuntimeError as e:
+        msg = str(e).lower()
+        # tolerate: already initialized (launcher won the race), or the
+        # backend already came up single-host (e.g. an env that exports pod
+        # discovery vars but runs one process)
+        if "already" not in msg and "must be called before" not in msg:
+            raise
+    return jax.process_count() > 1

@@ -112,3 +112,9 @@ def test_draw_cameras():
     view[:3, 3] = [0, 0, -4.0]
     out = draw_cameras(img, extr, intr, view, np.eye(3, dtype=np.float32) * 0 + intr[0])
     assert out.max() > 0.3  # frusta drawn
+
+
+def test_initialize_distributed_single_host_noop():
+    from my_depthsplat_tpu.parallel import initialize_distributed
+
+    assert initialize_distributed() is False
