@@ -22,6 +22,11 @@ from ..render import DepthRenderingMode, render, render_depth
 class DecoderOutput(NamedTuple):
     color: Array  # (B, V, H, W, 3)
     depth: Array | None  # (B, V, H, W)
+    # () int32 — tile instances lost to the Pallas instance budget / caps.
+    # The reference's CUDA rasterizer allocates dynamically and never drops
+    # (diff-gaussian-rasterization semantics), so a persistently nonzero
+    # count means the budget should be raised. Always 0 for the oracle.
+    num_dropped: Array | None = None
 
 
 @dataclass(frozen=True)
@@ -36,6 +41,10 @@ class DecoderSplattingCfg:
     # ~2x the live count. Overflow is counted and dropped, never corrupting.
     # None = exact bound.
     instance_budget_per_gaussian: float | None = 6.0
+    # Tier-2 expansion cap for gaussians spanning >4 tiles (None = the
+    # builder default max(128, G/4)); raise for large-splat regimes where
+    # num_dropped stays nonzero.
+    big_tile_cap: int | None = None
 
 
 def decode_splatting(
@@ -74,7 +83,7 @@ def decode_splatting(
         if cfg.instance_budget_per_gaussian is None
         else int(cfg.instance_budget_per_gaussian * gaussians.means.shape[1])
     )
-    color = render(
+    color, aux = render(
         bv(extrinsics),
         bv(intrinsics),
         bv(near),
@@ -87,6 +96,8 @@ def decode_splatting(
         rep(gaussians.opacities),
         backend=cfg.backend,
         instance_budget=budget,
+        big_tile_cap=cfg.big_tile_cap,
+        return_aux=True,
     )
     color = color.reshape(b, v, *color.shape[1:])
 
@@ -104,4 +115,4 @@ def decode_splatting(
             mode=depth_mode,
             backend=cfg.backend,
         ).reshape(b, v, *image_shape)
-    return DecoderOutput(color, depth)
+    return DecoderOutput(color, depth, aux["num_dropped"])

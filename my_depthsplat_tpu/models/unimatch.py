@@ -124,6 +124,11 @@ class MultiViewUniMatch(nn.Module):
         training: bool = False,
     ) -> dict[str, Any]:
         b, v, h, w, _ = images.shape
+        if self.sweep_gather_dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                "sweep_gather_dtype must be 'float32' or 'bfloat16', got "
+                f"{self.sweep_gather_dtype!r}"
+            )
         results: dict[str, Any] = {}
         images_norm = normalize_imagenet(images)
 
@@ -298,11 +303,28 @@ class MultiViewUniMatch(nn.Module):
                     and n_chunks < num_d
                 ):
                     n_chunks *= 2
-                while num_d % n_chunks:
-                    n_chunks //= 2
-                dc = num_d // n_chunks
+                # Ceil-division chunking so ANY num_d respects the byte
+                # budget (a divisors-only fallback collapses to one chunk
+                # for prime num_d and silently defeats the budget): pad the
+                # candidate axis to n_chunks*dc with repeats of the last
+                # candidate and slice the padded correlations off after.
+                dc = -(-num_d // n_chunks)
+                pad = n_chunks * dc - num_d
+                cand_pad = (
+                    jnp.concatenate(
+                        [
+                            cand_flat,
+                            jnp.broadcast_to(
+                                cand_flat[:, -1:], (bvm, pad, hs, ws)
+                            ),
+                        ],
+                        axis=1,
+                    )
+                    if pad
+                    else cand_flat
+                )
                 cand_cs = jnp.moveaxis(
-                    cand_flat.reshape(bvm, n_chunks, dc, hs, ws), 1, 0
+                    cand_pad.reshape(bvm, n_chunks, dc, hs, ws), 1, 0
                 )
 
                 def sweep_step(_, cand_c):
@@ -313,8 +335,8 @@ class MultiViewUniMatch(nn.Module):
 
                 _, corr_cs = jax.lax.scan(sweep_step, None, cand_cs)
                 corr = jnp.moveaxis(corr_cs, 0, 1).reshape(
-                    bvm, num_d, hs, ws
-                )
+                    bvm, n_chunks * dc, hs, ws
+                )[:, :num_d]
             else:
                 corr = sweep_correlation_flat(
                     src_flat, feats_rep, intr_flat, pose_flat, cand_flat,

@@ -160,7 +160,14 @@ void jpeg_err_exit(j_common_ptr cinfo) {
 }
 
 // Decode one JPEG into out (expected h*w*3, RGB). Returns 0 ok, 1 error,
-// 2 dims mismatch.
+// 2 dims mismatch, 3 corrupt-but-recoverable (libjpeg warnings).
+//
+// Truncated/corrupt JPEGs do NOT hit error_exit: libjpeg emits a
+// premature-EOF *warning* and gray-fills the missing scanlines. PIL treats
+// that as an OSError ("image file is truncated"), and the dataset hygiene
+// paths (dl3dv.py's OSError skip) depend on it — so any decode that produced
+// warnings is reported as a failure here, and the Python caller falls back
+// to PIL, which raises the OSError the skip logic expects.
 int decode_one(const uint8_t* buf, size_t len, uint8_t* out, int h, int w) {
   jpeg_decompress_struct cinfo;
   JpegErr jerr;
@@ -187,8 +194,9 @@ int decode_one(const uint8_t* buf, size_t len, uint8_t* out, int h, int w) {
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  const long warnings = cinfo.err->num_warnings;
   jpeg_destroy_decompress(&cinfo);
-  return 0;
+  return warnings > 0 ? 3 : 0;
 }
 
 void parallel_for(int n, int threads, const std::function<void(int)>& fn) {

@@ -29,24 +29,37 @@ def initialize_distributed(require: bool = False) -> bool:
     """
     import jax
 
+    # Multi-host evidence only: an explicit coordinator address, or a
+    # worker-hostnames list with MORE than one entry. (Single-entry
+    # TPU_WORKER_HOSTNAMES is set by single-chip TPU plugins too, and must
+    # not force distributed init.)
+    hostnames = [
+        h for h in os.environ.get("TPU_WORKER_HOSTNAMES", "").split(",") if h
+    ]
     want = require or any(
         os.environ.get(k)
         for k in (
             "JAX_COORDINATOR_ADDRESS",
             "COORDINATOR_ADDRESS",
             "MEGASCALE_COORDINATOR_ADDRESS",
-            "TPU_WORKER_HOSTNAMES",
         )
-    )
+    ) or len(hostnames) > 1
     if not want:
         return jax.process_count() > 1
     try:
         jax.distributed.initialize()
-    except RuntimeError as e:
+    except (RuntimeError, ValueError) as e:
         msg = str(e).lower()
-        # tolerate: already initialized (launcher won the race), or the
-        # backend already came up single-host (e.g. an env that exports pod
-        # discovery vars but runs one process)
-        if "already" not in msg and "must be called before" not in msg:
-            raise
+        # Tolerate only the already-initialized case (the launcher won the
+        # race). "must be called before backends initialized" means some
+        # earlier import touched the JAX backend — swallowing it would let
+        # a pod silently train as N independent single-host runs with the
+        # wrong global batch and a shared output_dir, so it must raise.
+        if "already" not in msg:
+            raise RuntimeError(
+                "jax.distributed.initialize() failed although multi-host "
+                "env vars are present. If the error is 'must be called "
+                "before backends initialized', something used a JAX device "
+                "before initialize_distributed() — move that use later."
+            ) from e
     return jax.process_count() > 1

@@ -58,18 +58,24 @@ def render(
     use_sh: bool = True,
     backend: Backend = "auto",
     instance_budget: int | None = None,
+    big_tile_cap: int | None = None,
+    return_aux: bool = False,
 ) -> Array:
     """Differentiable 3DGS render -> (B, h, w, 3) images (channels-last).
 
     instance_budget caps the Pallas backend's tile-instance layout per batch
     element (overflow is counted and dropped); None keeps the exact
     G*max_tiles_per_gaussian bound, whose gather/scatter cost is usually
-    5-10x the live instance count. Ignored by the oracle."""
+    5-10x the live instance count. big_tile_cap raises the tier-2 expansion
+    cap for large-splat regimes. Both ignored by the oracle (which never
+    drops). return_aux=True returns (image, {"num_dropped": int32})."""
     assert use_sh or gaussian_sh_coefficients.shape[-1] == 1
     impl = _resolve_backend(backend)
-    kwargs = {}
+    kwargs = {"return_aux": return_aux} if return_aux else {}
     if impl is not render_oracle and instance_budget is not None:
         kwargs["instance_budget"] = instance_budget
+    if impl is not render_oracle and big_tile_cap is not None:
+        kwargs["big_tile_cap"] = big_tile_cap
     return impl(
         extrinsics,
         intrinsics,

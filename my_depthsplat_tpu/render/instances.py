@@ -161,6 +161,7 @@ def build_tile_instances_batched(
     max_tiles_per_gaussian: int = 16,
     chunk: int = 256,
     instance_budget: int | None = None,
+    big_tile_cap: int | None = None,
 ) -> TileInstances:
     """Batched layout in ONE flat (batch x tile) space — a single sort and a
     single gather pass instead of a vmap (which costs ~2x on TPU sorts).
@@ -312,8 +313,16 @@ def build_tile_instances_batched(
     if r > t1:
         # compact "big" slots (bbox area > T1, still valid) to a prefix of
         # static length big_cap; excess big slots lose their tier-2 tiles
-        # (counted as dropped, deepest-first by the stable depth order).
-        big_cap = min(bg_count, max(128, bg_count // 4))
+        # (counted in num_dropped, deepest-first by the stable depth order).
+        # big_tile_cap overrides the default for large-splat regimes where
+        # >25% of gaussians span more than T1 tiles (e.g. early training on
+        # wide-baseline scenes) — num_dropped surfaces in train logs and the
+        # eval runner so such regimes are visible.
+        big_cap = (
+            min(bg_count, big_tile_cap)
+            if big_tile_cap is not None
+            else min(bg_count, max(128, bg_count // 4))
+        )
         is_small = jnp.where(valid_s & (area_s > t1), 0, 1).astype(jnp.int32)
         _, big_slots_full = jax.lax.sort(
             (is_small, all_slots), num_keys=1, is_stable=True
@@ -439,10 +448,12 @@ def build_tile_instances(
     max_tiles_per_gaussian: int = 16,
     chunk: int = 256,
     instance_budget: int | None = None,
+    big_tile_cap: int | None = None,
 ) -> TileInstances:
     """Single-view layout: the batched builder with B=1 (starts are global ==
     local offsets)."""
     sg_b = jax.tree.map(lambda x: x[None], sg)
     return build_tile_instances_batched(
-        sg_b, image_shape, max_tiles_per_gaussian, chunk, instance_budget
+        sg_b, image_shape, max_tiles_per_gaussian, chunk, instance_budget,
+        big_tile_cap,
     )

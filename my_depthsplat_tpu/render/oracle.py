@@ -184,8 +184,13 @@ def render_oracle(
     use_sh: bool = True,
     pixel_chunk: int = 1024,
     gaussian_block: int = 2048,
+    return_aux: bool = False,
 ) -> Array:
-    """Render (B, h, w, 3) images. Differentiable w.r.t. all gaussian inputs."""
+    """Render (B, h, w, 3) images. Differentiable w.r.t. all gaussian inputs.
+
+    The oracle composites every gaussian for every pixel — nothing is ever
+    dropped, so return_aux reports num_dropped == 0 (API parity with the
+    Pallas backend's instance-budget accounting)."""
     if scale_invariant:
         extrinsics, near, far, means, covariances = scale_invariant_normalization(
             extrinsics, near, far, means, covariances
@@ -198,7 +203,10 @@ def render_oracle(
             image_shape, use_sh, pixel_chunk, gaussian_block,
         )
 
-    return jax.vmap(one)(
+    image = jax.vmap(one)(
         extrinsics, intrinsics, near, far, background,
         means, covariances, sh, opacities,
     )
+    if return_aux:
+        return image, {"num_dropped": jnp.zeros((), jnp.int32)}
+    return image

@@ -478,12 +478,19 @@ def render_pallas(
     use_sh: bool = True,
     max_tiles_per_gaussian: int = 16,
     instance_budget: int | None = None,
+    big_tile_cap: int | None = None,
+    return_aux: bool = False,
 ) -> Array:
     """Batched Pallas render, drop-in for render_oracle.
 
     The whole batch renders in ONE kernel launch: projection and instance
     binning are vmapped over the batch and the kernel grid gains a leading
     batch dimension — no per-view python loop, O(1) compile cost in batch.
+
+    return_aux=True additionally returns {"num_dropped": int32 scalar} — the
+    tile instances lost to the per-gaussian cap / big-slot cap / instance
+    budget. The reference's CUDA rasterizer allocates dynamically and never
+    drops, so a nonzero count is the signal to raise the budget.
     """
     if scale_invariant:
         extrinsics, near, far, gaussian_means, gaussian_covariances = (
@@ -520,7 +527,8 @@ def render_pallas(
         group = 1
     if group == b:
         inst = build_tile_instances_batched(
-            sg, image_shape, max_tiles_per_gaussian, CHUNK, instance_budget
+            sg, image_shape, max_tiles_per_gaussian, CHUNK, instance_budget,
+            big_tile_cap,
         )
     else:
         packed, gid, starts, counts = [], [], [], []
@@ -530,7 +538,7 @@ def render_pallas(
             sg_g = jax.tree.map(lambda x: x[v0 : v0 + group], sg)
             part = build_tile_instances_batched(
                 sg_g, image_shape, max_tiles_per_gaussian, CHUNK,
-                instance_budget,
+                instance_budget, big_tile_cap,
             )
             packed.append(part.packed)
             gid.append(part.gaussian_id)
@@ -552,4 +560,7 @@ def render_pallas(
     )
     image = raw[..., 0:3].reshape(b, gy, gx, TILE, TILE, 3)
     image = image.transpose(0, 1, 3, 2, 4, 5).reshape(b, gy * TILE, gx * TILE, 3)
-    return image[:, :h, :w]
+    image = image[:, :h, :w]
+    if return_aux:
+        return image, {"num_dropped": inst.num_dropped}
+    return image

@@ -64,6 +64,28 @@ def test_decode_batch_fallback_on_corrupt():
         decode_jpeg_batch([bufs[0], bufs[1][:40]])
 
 
+@requires_native
+def test_native_rejects_truncated_jpeg():
+    """Truncated JPEGs decode 'successfully' in libjpeg (premature-EOF is a
+    warning + gray fill, not error_exit). The native path must report them as
+    failures so callers fall back to PIL, whose OSError drives the dataset
+    hygiene skips (dl3dv.py)."""
+    bufs = _jpegs(n=1, h=96, w=128)
+    # Cut after the header/scan start but before the stream ends: dims still
+    # parse, scanlines run out mid-image.
+    trunc = bufs[0][: len(bufs[0]) // 2]
+    assert native.jpeg_dims(trunc) is not None  # header is intact
+    assert native.decode_jpeg_batch([trunc], 96, 128) is None
+
+
+@requires_native
+def test_truncated_jpeg_raises_oserror_end_to_end():
+    bufs = _jpegs(n=2)
+    trunc = bufs[1][: len(bufs[1]) // 2]
+    with pytest.raises(OSError):
+        decode_jpeg_batch([bufs[0], trunc])
+
+
 def test_shim_batch_resize_matches_scalar_path():
     rng = np.random.default_rng(2)
     imgs = rng.uniform(0, 1, (4, 60, 90, 3)).astype(np.float32)
