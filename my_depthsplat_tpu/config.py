@@ -15,6 +15,7 @@ from typing import Any, get_args, get_origin, get_type_hints
 
 import yaml
 
+from .eval.runner import TestCfg
 from .gaussians import GaussianAdapterCfg
 from .models.decoder import DecoderSplattingCfg
 from .models.encoder import EncoderDepthSplatCfg
@@ -36,6 +37,15 @@ class DatasetCfg:
     test_chunk_interval: int = 1
     # Raw frame shape sanity check (dataset_re10k.py:158-171); None disables.
     expected_shape: tuple[int, int] | None = None
+    # Reader-specific knobs forwarded to the per-dataset cfg dataclass with
+    # unknown-key rejection (e.g. dl3dv min_views/max_views, arkit highres).
+    extra_args: dict = field(default_factory=dict)
+    # Apply the disparity-based near/far bounds shim to every batch
+    # (reference src/dataset/shims/bounds_shim.py:40-80; exposed per-dataset
+    # like the reference's cfg hooks).
+    use_bounds_shim: bool = False
+    bounds_near_disparity: float = 3.0
+    bounds_far_disparity: float = 0.25
 
 
 @dataclass(frozen=True)
@@ -51,6 +61,9 @@ class CheckpointingCfg:
     resume: bool = False
     load: str | None = None  # full checkpoint
     pretrained_model: str | None = None
+    # drop encoder.depth_predictor.* keys from the pretrained_model load (the
+    # reference's "fine-tuning depth" filter, main.py:213-246)
+    pretrained_model_skip_depth: bool = False
     pretrained_monodepth: str | None = None
     pretrained_depth: str | None = None
     pretrained_mvdepth: str | None = None
@@ -70,6 +83,17 @@ class TrainerCfg:
 
 
 @dataclass(frozen=True)
+class TrainOptionsCfg:
+    """The reference's `train:` group flags that live outside the loss cfg
+    (config/main.yaml:60-75). forward_depth_only follows
+    encoder.train_depth_only here (one switch drives encoder + wrapper)."""
+
+    # Render depth alongside color during training (model_wrapper.py:196-234):
+    # "depth" | "disparity" | "relative_disparity" | "log" | None.
+    depth_mode: str | None = None
+
+
+@dataclass(frozen=True)
 class RootCfg:
     mode: str = "train"  # train | test
     seed: int = 111123
@@ -82,6 +106,10 @@ class RootCfg:
     optimizer: OptimizerCfg = field(default_factory=OptimizerCfg)
     checkpointing: CheckpointingCfg = field(default_factory=CheckpointingCfg)
     trainer: TrainerCfg = field(default_factory=TrainerCfg)
+    train: TrainOptionsCfg = field(default_factory=TrainOptionsCfg)
+    # test-mode runner flags (the reference's `test:` group); output_dir is
+    # overridden to <root output_dir>/test by the CLI.
+    test: TestCfg = field(default_factory=TestCfg)
 
 
 def _coerce(value: Any, typ: Any) -> Any:

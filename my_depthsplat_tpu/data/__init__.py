@@ -1,4 +1,5 @@
 from .loader import DataLoaderCfg, batch_examples, data_loader
+from .registry import DATASETS, build_dataset_cfg, get_dataset
 from .shims import (
     apply_augmentation_shim,
     apply_bounds_shim,
@@ -15,7 +16,10 @@ from .view_samplers import (
 )
 
 __all__ = [
+    "DATASETS",
     "DataLoaderCfg",
+    "build_dataset_cfg",
+    "get_dataset",
     "ViewSamplerAll",
     "ViewSamplerArbitrary",
     "ViewSamplerBounded",

@@ -37,6 +37,14 @@ class TestCfg:
     save_video: bool = False  # interpolated-trajectory video per scene
     stabilize_camera: bool = False  # smooth the video path (dynibar-style)
     video_frames: int = 60
+    # Fail the run if the Pallas instance budget dropped any tile instance
+    # (the CUDA reference never drops, so published-number eval configs
+    # should assert parity with that behavior).
+    assert_zero_dropped: bool = False
+    # Depth-only inference (the reference's train.forward_depth_only,
+    # model_wrapper.py:431,503-560): skip the decoder entirely, dump depth
+    # visualizations + .npy per context view, no color scores.
+    forward_depth_only: bool = False
 
 
 def run_test(
@@ -49,6 +57,7 @@ def run_test(
     bench = Benchmarker()
     scores: dict[str, list] = {"psnr": [], "ssim": [], "lpips": []}
     names: list[str] = []
+    total_dropped = 0
 
     for batch in batches:
         assert batch["target"]["image"].shape[0] == 1
@@ -58,8 +67,17 @@ def run_test(
 
         with bench.time("encoder"):
             out = encoder_apply(batch["context"])
-            jax.block_until_ready(out["gaussians"].means)
+            jax.block_until_ready(
+                out["depths"] if out.get("gaussians") is None
+                else out["gaussians"].means
+            )
         gaussians = out["gaussians"]
+
+        if cfg.forward_depth_only or gaussians is None:
+            # depth-only early return (model_wrapper.py:503-560): dump depth
+            # viz + npy for the context views, skip decoder and color scores.
+            _save_depth_outputs(cfg, out, scene)
+            continue
 
         chunk = cfg.render_chunk_size or v_tgt
         colors = []
@@ -76,6 +94,16 @@ def run_test(
                     (h, w),
                 )
                 colors.append(dec.color)
+                if dec.num_dropped is not None:
+                    dropped = int(dec.num_dropped)
+                    total_dropped += dropped
+                    if cfg.assert_zero_dropped and dropped:
+                        raise AssertionError(
+                            f"scene {scene}: {dropped} tile instances "
+                            "dropped by the render instance budget — raise "
+                            "decoder.instance_budget_per_gaussian or "
+                            "decoder.big_tile_cap"
+                        )
             color = jnp.concatenate(colors, axis=1)
             jax.block_until_ready(color)
 
@@ -97,17 +125,7 @@ def run_test(
                 )
 
         if cfg.save_depth and out.get("depths") is not None:
-            from ..utils.vis_depth import viz_depth
-
-            depths = np.asarray(out["depths"])
-            for i in range(depths.shape[1]):
-                save_image(
-                    viz_depth(depths[0, i]),
-                    cfg.output_dir / scene / f"depth/{i:04d}.png",
-                )
-                np.save(
-                    cfg.output_dir / scene / f"depth/{i:04d}.npy", depths[0, i]
-                )
+            _save_depth_outputs(cfg, out, scene)
 
         if cfg.save_gaussians and "per_view" in out:
             _save_scene_ply(cfg, out["per_view"], batch, scene)
@@ -130,10 +148,33 @@ def run_test(
     bench.dump(out_dir / "benchmark.json")
     bench.dump_memory(out_dir / "peak_memory.json")
     summary = bench.summarize(cfg.eval_time_skip_steps)
+    if total_dropped:
+        print(
+            f"WARNING: {total_dropped} tile instances dropped by the render "
+            "instance budget across the test set (CUDA reference never "
+            "drops) — raise decoder.instance_budget_per_gaussian"
+        )
     return {
         "scores": {k: float(np.mean(v)) for k, v in scores.items() if v},
         "timing": summary,
+        "num_dropped": total_dropped,
     }
+
+
+def _save_depth_outputs(cfg: TestCfg, out: dict, scene: str) -> None:
+    """Depth viz PNG + raw .npy per context view (model_wrapper.py:503-548).
+    ``depths`` may be coarse-to-fine stacked along batch (final last)."""
+    from ..utils.vis_depth import viz_depth
+
+    if out.get("depths") is None:
+        return
+    depths = np.asarray(out["depths"])[-1]  # (V, H, W) final prediction
+    for i in range(depths.shape[0]):
+        save_image(
+            viz_depth(depths[i]),
+            cfg.output_dir / scene / f"depth/{i:04d}.png",
+        )
+        np.save(cfg.output_dir / scene / f"depth/{i:04d}.npy", depths[i])
 
 
 def _save_scene_ply(cfg: TestCfg, per_view, batch, scene: str) -> None:

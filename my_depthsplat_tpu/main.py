@@ -6,11 +6,25 @@ Replaces the reference's hydra main + Lightning Trainer (src/main.py:44-288):
         optimizer.lr=2e-4 trainer.max_steps=100000
 
 Dot-overrides compose onto the YAML config exactly like the reference's CLI.
+Wired capabilities (reference file:line):
+- dataset registry dispatch re10k/dl3dv/arkit (src/dataset/__init__.py:21-32)
+- patch/bounds shims on every batch (encoder_depthsplat.py:363-373,
+  shims/bounds_shim.py:40-80)
+- 3-way pretrained partial loading + torch-ckpt conversion
+  (src/main.py:188-266)
+- LPIPS as training loss and eval metric when weights are configured
+  (src/loss/loss_lpips.py:27-59, src/evaluation/metrics.py:22-35)
+- a real held-out validation hook (model_wrapper.py:634-773 +
+  ValidationWrapper) and periodic full-test eval (:775-930)
+- multi-host-safe checkpointing with save_top_k retention (main.py:115-125)
+- depth-only train/test (config/main.yaml:73, model_wrapper.py:431,503-560)
 """
 
 from __future__ import annotations
 
 import argparse
+import dataclasses
+import itertools
 import json
 import time
 from pathlib import Path
@@ -19,35 +33,51 @@ import jax
 import numpy as np
 
 from .config import RootCfg, load_config, to_dict
-from .data import DataLoaderCfg, data_loader, get_view_sampler
-from .data.re10k import DatasetRE10k, DatasetRE10kCfg
+from .data import (
+    DataLoaderCfg,
+    apply_bounds_shim,
+    apply_patch_shim,
+    data_loader,
+    get_dataset,
+    get_view_sampler,
+)
+from .models.vit import VIT_CONFIGS
 from .parallel import MeshCfg, initialize_distributed, make_mesh, shard_batch
 from .train import TrainCfg, make_train_step
 from .train.checkpoints import (
     find_latest_checkpoint,
+    load_pretrained_depth,
+    load_pretrained_model,
+    load_pretrained_monodepth,
+    load_slot_params,
     restore_checkpoint,
     save_checkpoint,
 )
+from .train.lpips_io import build_lpips
 
 
 def build_dataset(cfg: RootCfg, stage: str, host_id: int = 0, num_hosts: int = 1):
+    """dataset.name-dispatched reader (reference src/dataset/__init__.py:21-32)."""
     sampler = get_view_sampler(
         cfg.dataset.view_sampler, stage=stage, **cfg.dataset.view_sampler_args
     )
-    ds_cfg = DatasetRE10kCfg(
-        roots=tuple(Path(r) for r in cfg.dataset.roots),
-        image_shape=tuple(cfg.dataset.image_shape),
-        near=cfg.dataset.near,
-        far=cfg.dataset.far,
-        augment=cfg.dataset.augment,
-        test_chunk_interval=cfg.dataset.test_chunk_interval,
-        expected_shape=(
-            tuple(cfg.dataset.expected_shape)
-            if cfg.dataset.expected_shape is not None
-            else None
-        ),
-    )
-    return DatasetRE10k(ds_cfg, stage, sampler, host_id, num_hosts)
+    return get_dataset(cfg.dataset, stage, sampler, host_id, num_hosts)
+
+
+def prepare_batch(cfg: RootCfg, batch: dict) -> dict:
+    """Numpy-side batch shims (the reference's get_data_shim composition,
+    data_module.py:17-32 + encoder_depthsplat.py:363-373): crop to a multiple
+    of patch_size*downscale so non-multiple resolutions (e.g. 270x480) work,
+    then optionally replace near/far with disparity-derived bounds."""
+    patch = cfg.encoder.shim_patch_size * cfg.encoder.downscale_factor
+    batch = apply_patch_shim(batch, patch)
+    if cfg.dataset.use_bounds_shim:
+        batch = apply_bounds_shim(
+            batch,
+            cfg.dataset.bounds_near_disparity,
+            cfg.dataset.bounds_far_disparity,
+        )
+    return batch
 
 
 def jax_batch(batch: dict) -> dict:
@@ -64,6 +94,35 @@ def jax_batch(batch: dict) -> dict:
     return {"context": conv(batch["context"]), "target": conv(batch["target"])}
 
 
+def _vit_depth(cfg: RootCfg) -> int:
+    return VIT_CONFIGS[cfg.encoder.monodepth_vit_type]["depth"]
+
+
+def apply_pretrained_slots(cfg: RootCfg, state):
+    """The reference's 3-way filtered pretrained loading before fit/test
+    (src/main.py:188-266). Order matches the reference: monodepth first,
+    then full model (optionally skipping the depth predictor), then the
+    strict depth-only slot."""
+    ck = cfg.checkpointing
+    params = state.params
+    if ck.pretrained_monodepth:
+        loaded = load_slot_params(ck.pretrained_monodepth, state, _vit_depth(cfg))
+        params = load_pretrained_monodepth(params, loaded)
+        print(f"loaded pretrained_monodepth from {ck.pretrained_monodepth}")
+    if ck.pretrained_model:
+        loaded = load_slot_params(ck.pretrained_model, state, _vit_depth(cfg))
+        params = load_pretrained_model(
+            params, loaded, skip_depth_predictor=ck.pretrained_model_skip_depth
+        )
+        print(f"loaded pretrained_model from {ck.pretrained_model}")
+    for slot in (ck.pretrained_depth, ck.pretrained_mvdepth):
+        if slot:
+            loaded = load_slot_params(slot, state, _vit_depth(cfg))
+            params = load_pretrained_depth(params, loaded)
+            print(f"loaded pretrained depth slot from {slot}")
+    return state.replace(params=params)
+
+
 def train(cfg: RootCfg) -> None:
     out_dir = Path(cfg.output_dir)
     out_dir.mkdir(exist_ok=True, parents=True)
@@ -76,13 +135,20 @@ def train(cfg: RootCfg) -> None:
     host_id = jax.process_index()
     num_hosts = jax.process_count()
 
+    # LPIPS loss wiring (loss_lpips.py:27-59): active only when a weights
+    # file is configured AND the loss weight is nonzero.
+    lpips_apply_fn, lpips_params = (None, None)
+    if cfg.loss.lpips_weight > 0 and cfg.loss.lpips_weights:
+        lpips_apply_fn, lpips_params = build_lpips(cfg.loss.lpips_weights)
+
     train_cfg = TrainCfg(
         encoder=cfg.encoder,
         decoder=cfg.decoder,
         loss=cfg.loss,
         optimizer=cfg.optimizer,
+        depth_mode=cfg.train.depth_mode,
     )
-    init_fn, train_step = make_train_step(train_cfg)
+    init_fn, train_step = make_train_step(train_cfg, lpips_apply_fn)
     step_fn = jax.jit(train_step, donate_argnums=(0,))
 
     dataset = build_dataset(cfg, "train", host_id, num_hosts)
@@ -105,12 +171,17 @@ def train(cfg: RootCfg) -> None:
 
     logger = LocalLogger(out_dir, run_name=out_dir.name) if host_id == 0 else None
     loader = data_loader(dataset, loader_cfg, "train", global_step=start_step)
+    # Held-out validation stream (model_wrapper.py:634-773 +
+    # ValidationWrapper): a single repeating val sample, NOT the train batch.
+    val_iter = _make_val_iter(cfg)
     log_every = cfg.trainer.print_log_every_n_steps
     t_last = time.time()
     for step_idx, batch in enumerate(loader):
+        batch = prepare_batch(cfg, batch)
         jb = jax_batch(batch)
         if state is None:
-            state = init_fn(jax.random.key(cfg.seed), jb)
+            state = init_fn(jax.random.key(cfg.seed), jb, lpips_params)
+            state = apply_pretrained_slots(cfg, state)
             latest = (
                 find_latest_checkpoint(out_dir / "checkpoints")
                 if cfg.checkpointing.resume
@@ -130,33 +201,104 @@ def train(cfg: RootCfg) -> None:
             print(f"step {gstep}: {msg} ({dt:.3f}s/it)", flush=True)
             if logger is not None:
                 logger.log_scalars(gstep, {**logs, "perf/s_per_it": dt})
-        if (
-            gstep % cfg.trainer.val_check_interval == 0
-            and logger is not None
-        ):
-            _log_validation_panel(cfg, state, batch, gstep, logger)
+        if gstep % cfg.trainer.val_check_interval == 0:
+            # All hosts run validation (identical data/computation — a
+            # host-0-only jit over pod-global params would desync); only
+            # host 0 writes.
+            _run_validation(cfg, state, val_iter, gstep, logger)
         if (
             cfg.trainer.test_eval_interval > 0
             and gstep % cfg.trainer.test_eval_interval == 0
-            and host_id == 0
         ):
-            _run_periodic_test_eval(cfg, state, gstep, logger)
-        if gstep % cfg.checkpointing.every_n_train_steps == 0 and host_id == 0:
-            save_checkpoint(out_dir / "checkpoints", gstep, state)
+            _run_periodic_test_eval(cfg, state, gstep, logger,
+                                    write=host_id == 0)
+        if gstep % cfg.checkpointing.every_n_train_steps == 0:
+            # all processes must enter the orbax save (multi-host safety)
+            save_checkpoint(out_dir / "checkpoints", gstep, state,
+                            keep=cfg.checkpointing.save_top_k)
         if gstep >= cfg.trainer.max_steps:
             break
-    if host_id == 0 and state is not None:
-        save_checkpoint(out_dir / "checkpoints", int(state.step), state)
+    if state is not None:
+        save_checkpoint(out_dir / "checkpoints", int(state.step), state,
+                        keep=cfg.checkpointing.save_top_k)
     if logger is not None:
         logger.close()
 
 
-def _run_periodic_test_eval(cfg, state, step, logger) -> None:
-    """Full-test eval with the current weights (model_wrapper.py:775-930):
-    iterate the test split, render, and log test/psnr — rank zero only."""
-    import itertools
+def _make_val_iter(cfg: RootCfg):
+    """Iterator over held-out val batches; None when no val split exists.
+    Mirrors ValidationWrapper (validation_wrapper.py:7-32): one sample per
+    validation run, cycling through the val split."""
+    try:
+        dataset = build_dataset(cfg, "val")
+        loader_cfg = DataLoaderCfg(batch_size=1, seed=cfg.data_loader.seed)
 
-    from .eval.runner import TestCfg, run_test
+        def gen():
+            while True:
+                yield from data_loader(dataset, loader_cfg, "val")
+
+        return gen()
+    except Exception as e:
+        print(f"no validation split available ({e}); validation disabled")
+        return None
+
+
+def _run_validation(cfg, state, val_iter, step, logger) -> None:
+    """Held-out val render: val/psnr + comparison panel
+    (model_wrapper.py:634-773)."""
+    import jax.numpy as jnp
+
+    from .eval.metrics import compute_psnr
+    from .models import EncoderDepthSplat, decode_splatting
+    from .utils.layout import add_border, hcat, vcat
+
+    if val_iter is None:
+        return
+    try:
+        batch = prepare_batch(cfg, next(val_iter))
+        encoder = EncoderDepthSplat(cfg.encoder)
+        jb = jax_batch(batch)
+        out = encoder.apply(state.params, jb["context"], training=False)
+        gaussians = out["gaussians"]
+        if gaussians is None:  # depth-only mode: log depth panel only
+            if logger is not None:
+                from .utils.vis_depth import viz_depth
+
+                d = np.asarray(out["depths"])[-1]
+                row = hcat(*[viz_depth(d[i]) for i in range(d.shape[0])])
+                logger.log_image(step, "val/depth", add_border(row))
+            return
+        tgt = jb["target"]
+        gaussians = jax.tree.map(lambda x: x[-1:], gaussians)
+        h, w = tgt["image"].shape[2:4]
+        dec = decode_splatting(
+            cfg.decoder, gaussians, tgt["extrinsics"], tgt["intrinsics"],
+            tgt["near"], tgt["far"], (h, w),
+        )
+        psnr = float(
+            compute_psnr(
+                tgt["image"].reshape(-1, h, w, 3),
+                dec.color.reshape(-1, h, w, 3),
+            ).mean()
+        )
+        print(f"[val @ {step}] psnr={psnr:.3f}", flush=True)
+        if logger is not None:
+            logger.log_scalars(step, {"val/psnr": psnr})
+            gt_row = hcat(*[np.asarray(tgt["image"][0, i]) for i in
+                            range(tgt["image"].shape[1])])
+            pr_row = hcat(*[np.asarray(dec.color[0, i]) for i in
+                            range(dec.color.shape[1])])
+            logger.log_image(step, "val/comparison", add_border(vcat(gt_row, pr_row)))
+    except Exception as e:  # validation must never kill training
+        print(f"validation failed: {e}")
+
+
+def _run_periodic_test_eval(cfg, state, step, logger, write: bool) -> None:
+    """Full-test eval with the current weights (model_wrapper.py:775-930):
+    iterate the test split, render, and log test/psnr. Runs on every host
+    (identical computation keeps SPMD programs in sync); only ``write``
+    hosts emit files/logs."""
+    from .eval.runner import run_test
     from .models import EncoderDepthSplat
 
     try:
@@ -167,65 +309,49 @@ def _run_periodic_test_eval(cfg, state, step, logger) -> None:
             "test",
         )
         batches = (
-            {**b, **jax_batch(b)}
+            {**b, **jax_batch(prepare_batch(cfg, b))}
             for b in itertools.islice(loader, cfg.trainer.test_eval_max_scenes)
         )
         apply = jax.jit(
             lambda context: encoder.apply(state.params, context, training=False)
         )
+        lpips_fn = _eval_lpips_fn(cfg, state)
         result = run_test(
-            TestCfg(
+            dataclasses.replace(
+                cfg.test,
                 output_dir=Path(cfg.output_dir) / f"test_step{step}",
                 save_image=False,
             ),
             apply,
             batches,
             decoder_cfg=cfg.decoder,
+            lpips_fn=lpips_fn,
         )
-        print(f"[test eval @ {step}] {result['scores']}", flush=True)
-        if logger is not None and result["scores"]:
-            logger.log_scalars(
-                step, {f"test/{k}": v for k, v in result["scores"].items()}
-            )
+        if write:
+            print(f"[test eval @ {step}] {result['scores']}", flush=True)
+            if logger is not None and result["scores"]:
+                logger.log_scalars(
+                    step, {f"test/{k}": v for k, v in result["scores"].items()}
+                )
     except Exception as e:  # periodic eval must never kill training
         print(f"periodic test eval failed: {e}")
 
 
-def _log_validation_panel(cfg, state, batch, step, logger) -> None:
-    """Side-by-side GT vs render of the first batch element (the analog of the
-    reference's wandb comparison panels, model_wrapper.py:727-766)."""
-    import numpy as np
-
-    from .models import EncoderDepthSplat, decode_splatting
-    from .utils.layout import add_border, hcat, vcat
-
-    try:
-        encoder = EncoderDepthSplat(cfg.encoder)
-        jb = jax_batch(batch)
-        ctx = jax.tree.map(lambda x: x[:1], jb["context"])
-        tgt = jax.tree.map(lambda x: x[:1], jb["target"])
-        out = encoder.apply(state.params, ctx, training=False)
-        gaussians = out["gaussians"]
-        b_eff = gaussians.means.shape[0]
-        gaussians = jax.tree.map(lambda x: x[-1:], gaussians)
-        h, w = tgt["image"].shape[2:4]
-        dec = decode_splatting(
-            cfg.decoder, gaussians, tgt["extrinsics"], tgt["intrinsics"],
-            tgt["near"], tgt["far"], (h, w),
-        )
-        gt_row = hcat(*[np.asarray(tgt["image"][0, i]) for i in
-                        range(tgt["image"].shape[1])])
-        pr_row = hcat(*[np.asarray(dec.color[0, i]) for i in
-                        range(dec.color.shape[1])])
-        logger.log_image(step, "val/comparison", add_border(vcat(gt_row, pr_row)))
-    except Exception as e:  # visualization must never kill training
-        print(f"validation panel failed: {e}")
+def _eval_lpips_fn(cfg: RootCfg, state=None):
+    """LPIPS eval metric (metrics.py:22-35): prefers params already in the
+    train state, else loads from the configured weights file."""
+    if not cfg.loss.lpips_weights:
+        return None
+    apply_fn, params = build_lpips(cfg.loss.lpips_weights)
+    if apply_fn is None:
+        return None
+    if state is not None and state.lpips_params is not None:
+        params = state.lpips_params
+    return lambda a, b: apply_fn(params, a, b)
 
 
 def test(cfg: RootCfg) -> None:
-    from flax.linen import Module  # noqa: F401  (keep flax import local)
-
-    from .eval.runner import TestCfg, run_test
+    from .eval.runner import run_test
     from .models import EncoderDepthSplat
 
     out_dir = Path(cfg.output_dir)
@@ -233,35 +359,40 @@ def test(cfg: RootCfg) -> None:
     dataset = build_dataset(cfg, "test")
     loader_cfg = DataLoaderCfg(batch_size=1, seed=cfg.data_loader.seed)
 
-    params = None
-    if cfg.checkpointing.load:
-        from .train import TrainCfg as _TC, make_train_step as _mts
+    from .train import TrainCfg as _TC, make_train_step as _mts
 
-        init_fn, _ = _mts(
-            TrainCfg(encoder=cfg.encoder, decoder=cfg.decoder,
-                     loss=cfg.loss, optimizer=cfg.optimizer)
-        )
-        first = next(iter(data_loader(dataset, loader_cfg, "test")))
-        state = init_fn(jax.random.key(0), jax_batch(first))
+    init_fn, _ = _mts(
+        TrainCfg(encoder=cfg.encoder, decoder=cfg.decoder,
+                 loss=cfg.loss, optimizer=cfg.optimizer)
+    )
+    first = next(iter(data_loader(dataset, loader_cfg, "test")))
+    state = init_fn(jax.random.key(0), jax_batch(prepare_batch(cfg, first)))
+    state = apply_pretrained_slots(cfg, state)
+    if cfg.checkpointing.load:
         state = restore_checkpoint(Path(cfg.checkpointing.load), state)
-        params = state.params
-    else:
-        first = next(iter(data_loader(dataset, loader_cfg, "test")))
-        params = encoder.init(jax.random.key(0), jax_batch(first)["context"])
+    params = state.params
 
     apply = jax.jit(
         lambda context: encoder.apply(params, context, training=False)
     )
 
     batches = (
-        {**b, **jax_batch(b)}
+        {**b, **jax_batch(prepare_batch(cfg, b))}
         for b in data_loader(dataset, loader_cfg, "test")
     )
+    test_cfg = dataclasses.replace(
+        cfg.test,
+        output_dir=out_dir / "test",
+        forward_depth_only=(
+            cfg.test.forward_depth_only or cfg.encoder.train_depth_only
+        ),
+    )
     result = run_test(
-        TestCfg(output_dir=out_dir / "test"),
-        lambda context: apply(context),
+        test_cfg,
+        apply,
         batches,
         decoder_cfg=cfg.decoder,
+        lpips_fn=_eval_lpips_fn(cfg),
     )
     print(json.dumps(result, indent=2))
 

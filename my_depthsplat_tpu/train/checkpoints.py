@@ -11,6 +11,7 @@ Reference behavior replicated (main.py:188-266, resume_ckpt.py:6-21):
 from __future__ import annotations
 
 import re
+import shutil
 from pathlib import Path
 from typing import Any
 
@@ -18,12 +19,37 @@ import jax
 import orbax.checkpoint as ocp
 
 
-def save_checkpoint(path: Path, step: int, state: Any) -> None:
+def save_checkpoint(path: Path, step: int, state: Any, keep: int | None = None) -> None:
+    """Save a full-state checkpoint at ``path/step_{step}``.
+
+    Multi-host: MUST be entered by ALL processes (orbax coordinates the
+    write of globally-addressed arrays across hosts; a host-0-only call
+    hangs on a real pod). Retention pruning (``keep`` = the reference's
+    ``save_top_k`` on its monotonic info/global_step monitor,
+    main.py:115-123) runs on process 0 after the save completes.
+    """
     path = Path(path).absolute()
-    path.mkdir(exist_ok=True, parents=True)
+    if jax.process_index() == 0:
+        path.mkdir(exist_ok=True, parents=True)
     ckpt = ocp.StandardCheckpointer()
     ckpt.save(path / f"step_{step}", state)
     ckpt.wait_until_finished()
+    if keep is not None and keep > 0 and jax.process_index() == 0:
+        prune_checkpoints(path, keep)
+
+
+def prune_checkpoints(path: Path, keep: int) -> None:
+    """Delete all but the ``keep`` newest step-named checkpoints."""
+    path = Path(path)
+    if not path.exists():
+        return
+    steps = []
+    for p in path.iterdir():
+        m = re.fullmatch(r"step_(\d+)", p.name)
+        if m:
+            steps.append((int(m.group(1)), p))
+    for _, p in sorted(steps)[:-keep] if keep else []:
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def find_latest_checkpoint(path: Path) -> Path | None:
@@ -85,3 +111,31 @@ def load_pretrained_depth(params: Any, loaded: Any) -> Any:
     return _merge_filtered(
         params, loaded, lambda p: _path_contains(p, "depth_predictor")
     )
+
+
+def load_slot_params(path: str | Path, state: Any, vit_depth: int) -> Any:
+    """Load a pretrained-slot source into a params tree.
+
+    Accepts either of the two formats the reference's 3-way loading consumes
+    (main.py:188-266):
+    - a torch ``.pth``/``.ckpt`` Lightning state dict — converted through
+      convert/depthsplat_ckpt.py (unmapped leaves keep current values);
+    - an orbax checkpoint directory saved by this framework — a full
+      TrainState (params extracted) or a bare params tree.
+    Returns a params tree shaped like ``state.params``.
+    """
+    p = Path(path)
+    if p.suffix in (".pth", ".pt", ".ckpt", ".bin"):
+        import torch
+
+        from ..convert.depthsplat_ckpt import convert_encoder_checkpoint
+
+        sd = torch.load(p, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        return convert_encoder_checkpoint(sd, state.params, vit_depth)
+    ckpt = ocp.StandardCheckpointer()
+    try:
+        return ckpt.restore(p.absolute(), state).params
+    except Exception:
+        return ckpt.restore(p.absolute(), state.params)

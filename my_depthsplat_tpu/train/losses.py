@@ -13,7 +13,14 @@ from jax import Array
 class LossCfg:
     mse_weight: float = 1.0
     lpips_weight: float = 0.05
-    lpips_apply_after_step: int = 150_000
+    # Step from which LPIPS contributes (loss_lpips.py:46-48). The reference
+    # experiments apply it from step 0 (config/experiment/re10k.yaml), so 0
+    # is the default — a large default silently trains MSE-only.
+    lpips_apply_after_step: int = 0
+    # Path to LPIPS(VGG) weights: a torch lpips state_dict (.pth) or a
+    # converted .npz (train/lpips_io.py). None disables LPIPS (no pretrained
+    # weights ship in this environment).
+    lpips_weights: str | None = None
     l1_loss: bool = False
     clamp_large_error: float = 0.0  # train_ignore_large_loss
     intermediate_loss_weight: float = 0.9

@@ -29,6 +29,10 @@ class TrainCfg:
     decoder: DecoderSplattingCfg = field(default_factory=DecoderSplattingCfg)
     loss: LossCfg = field(default_factory=LossCfg)
     optimizer: OptimizerCfg = field(default_factory=OptimizerCfg)
+    # Render depth alongside color during training (the reference's
+    # train_cfg.depth_mode hook, model_wrapper.py:196-234): "depth" |
+    # "disparity" | "relative_disparity" | "log" | None.
+    depth_mode: str | None = None
 
 
 class TrainState(struct.PyTreeNode):
@@ -45,6 +49,47 @@ class TrainState(struct.PyTreeNode):
             opt_state=tx.init(params),
             lpips_params=lpips_params,
         )
+
+
+def _depth_only_loss(cfg: TrainCfg, depths: Array, batch) -> tuple[Array, dict]:
+    """Masked L1 against GT depth for depth-only pre-training.
+
+    depths: (B * num_preds, V, H, W) stacked coarse-to-fine predictions
+    (final last). GT comes from batch["context"]["depth"] (B, V, hp, wp),
+    nearest-resized to (H, W) so sparse/zero (invalid) pixels stay invalid.
+    Intermediate predictions get the same gamma^k weighting as the render
+    losses (model_wrapper.py:273-341).
+    """
+    if "depth" not in batch["context"]:
+        raise ValueError(
+            "encoder.train_depth_only=True requires GT depth in the batch "
+            "(context.depth) — use a dataset that provides it (arkit_scenes)"
+        )
+    gt = batch["context"]["depth"]  # (B, V, hp, wp)
+    b = gt.shape[0]
+    b_eff = depths.shape[0]
+    num = b_eff // b
+    h, w = depths.shape[2:4]
+    if gt.shape[2:4] != (h, w):
+        gt = jax.image.resize(gt, (*gt.shape[:2], h, w), method="nearest")
+    valid = gt > 0.0
+    denom = jnp.maximum(jnp.sum(valid), 1)
+
+    def one(pred: Array) -> Array:
+        err = jnp.abs(pred - gt)
+        return jnp.sum(jnp.where(valid, err, 0.0)) / denom
+
+    total = one(depths[-b:])
+    logs: dict[str, Array] = {"loss/depth_l1": total}
+    if num > 1:
+        inter = jnp.zeros(())
+        for i in range(num - 1):
+            wgt = cfg.loss.intermediate_loss_weight ** (num - 1 - i)
+            inter = inter + wgt * one(depths[b * i : b * (i + 1)])
+        logs["loss/depth_intermediate"] = inter
+        total = total + inter
+    logs["loss/total"] = total
+    return total, logs
 
 
 def make_train_step(
@@ -72,6 +117,15 @@ def make_train_step(
         out = encoder.apply(params, batch["context"], training=True)
         gaussians = out["gaussians"]
 
+        if gaussians is None:
+            # Depth-only pre-training (encoder.train_depth_only): no decoder.
+            # The reference's depth-only mode is inference-only
+            # (model_wrapper.py:431,503-560 early-returns in test); for
+            # training we supervise directly against the LiDAR/GT depth the
+            # ARKit reader emits (dataset_arkit_scenes.py:366-410) with a
+            # masked L1 and the same gamma^k intermediate weighting.
+            return _depth_only_loss(cfg, out["depths"], batch)
+
         b = target["extrinsics"].shape[0]
         b_eff = gaussians.means.shape[0]
         num = b_eff // b
@@ -87,6 +141,7 @@ def make_train_step(
             rep(target["near"]),
             rep(target["far"]),
             (h, w),
+            depth_mode=cfg.depth_mode,
             render_sharding=render_sharding,
         )
         total, logs = compute_losses(
@@ -97,6 +152,11 @@ def make_train_step(
             lpips_apply_fn,
             state.lpips_params,
         )
+        if dec.num_dropped is not None:
+            # instance-budget overflow (CUDA never drops) — watch this stay 0
+            logs["render/num_dropped"] = dec.num_dropped.astype(jnp.float32)
+        if dec.depth is not None:
+            logs["render/depth_mean"] = dec.depth.mean()
         # train/psnr on the final prediction (model_wrapper.py:238-243)
         mse = jnp.mean((dec.color[-b:] - target["image"]) ** 2, axis=(2, 3, 4))
         logs["train/psnr"] = (-10.0 * jnp.log10(jnp.maximum(mse, 1e-10))).mean()
