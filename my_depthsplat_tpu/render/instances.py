@@ -310,26 +310,37 @@ def build_tile_instances_batched(
         row(area_s), row(valid_s), row(vid_s),
         row(xs), row(ys), row(ca_q), row(cb_q), row(cc_q), row(pd), row(thr),
     )
+    tile_parts = [tile_id_1]
+    slot_parts = [slot_1]
+
+    # Upper tiers: slots whose bbox exceeds the tier's lower bound are
+    # compacted to a static-size prefix (one cheap BG-length sort each) and
+    # expanded only over that tier's tile range. Tier widths/caps follow the
+    # measured area distribution (typical trained scenes: >90% of gaussians
+    # within 4 tiles, ~99% within 9), so the candidate array — whose sort
+    # and gather costs are per element, live or not — stays ~30% smaller
+    # than a single wide tier. Excess slots past a cap lose that tier's
+    # tiles (counted in num_dropped, deepest-first by the stable depth
+    # order); big_tile_cap raises the caps for large-splat regimes.
+    base_cap = (
+        min(bg_count, big_tile_cap)
+        if big_tile_cap is not None
+        else min(bg_count, max(128, bg_count // 8))
+    )
+    tiers = []
     if r > t1:
-        # compact "big" slots (bbox area > T1, still valid) to a prefix of
-        # static length big_cap; excess big slots lose their tier-2 tiles
-        # (counted in num_dropped, deepest-first by the stable depth order).
-        # big_tile_cap overrides the default for large-splat regimes where
-        # >25% of gaussians span more than T1 tiles (e.g. early training on
-        # wide-baseline scenes) — num_dropped surfaces in train logs and the
-        # eval runner so such regimes are visible.
-        big_cap = (
-            min(bg_count, big_tile_cap)
-            if big_tile_cap is not None
-            else min(bg_count, max(128, bg_count // 4))
-        )
-        is_small = jnp.where(valid_s & (area_s > t1), 0, 1).astype(jnp.int32)
+        mid = min(9, r)
+        tiers.append((t1, mid, base_cap))
+        if r > mid:
+            tiers.append((mid, r, min(bg_count, max(128, base_cap // 8))))
+    for lo, hi, cap_k in tiers:
+        is_small = jnp.where(valid_s & (area_s > lo), 0, 1).astype(jnp.int32)
         _, big_slots_full = jax.lax.sort(
             (is_small, all_slots), num_keys=1, is_stable=True
         )
         n_big = jnp.sum(1 - is_small)
-        big_slots = big_slots_full[:big_cap]  # (big_cap,)
-        big_live = jnp.arange(big_cap, dtype=jnp.int32) < n_big
+        big_slots = big_slots_full[:cap_k]  # (cap_k,)
+        big_live = jnp.arange(cap_k, dtype=jnp.int32) < n_big
         rect_b = rect_s_u16[:, big_slots].astype(jnp.int32)
         # big-slot screen columns with ONE u16 gather (a per-column f32
         # gather costs 3-4x more per index)
@@ -338,29 +349,33 @@ def build_tile_instances_batched(
         ca_b, cb_b, cc_b, op_b = cull_b[2], cull_b[3], cull_b[4], cull_b[5]
         pd_b = (ca_b > 0.0) & (cc_b > 0.0) & (ca_b * cc_b - cb_b * cb_b > 0.0)
         thr_b = 2.0 * jnp.log(jnp.maximum(op_b, 1e-12) / ALPHA_MIN) + 1e-3
-        j2 = jnp.arange(t1, r, dtype=jnp.int32)[:, None]
-        tile_id_2, slot_2 = expand(
-            j2, r, row(big_slots),
+        j_k = jnp.arange(lo, hi, dtype=jnp.int32)[:, None]
+        tile_id_k, slot_k = expand(
+            j_k, hi, row(big_slots),
             row(rect_b[0]), row(rect_b[1]),
             row(jnp.maximum(rect_b[2], 1)),
             row(rect_b[3]), row(big_live), row(rect_b[5]),
             row(xs_b), row(ys_b), row(ca_b), row(cb_b), row(cc_b),
             row(pd_b), row(thr_b),
         )
-        tile_id_flat = jnp.concatenate([tile_id_1, tile_id_2])
-        slot_flat = jnp.concatenate([slot_1, slot_2])
-        # tier-2 capacity overflow: tiles [t1, area) of big slots past the cap
+        tile_parts.append(tile_id_k)
+        slot_parts.append(slot_k)
+        # capacity overflow: tiles [lo, min(area, hi)) of slots past the cap
         over = jnp.where(
             (1 - is_small) == 1,
-            jnp.maximum(area_s, t1) - t1,
+            jnp.minimum(area_s, hi) - lo,
             0,
         )
         cum_big = jnp.cumsum(1 - is_small)  # rank of each big slot (1-based)
         num_dropped = num_dropped + jnp.sum(
-            jnp.where(cum_big > big_cap, over, 0)
+            jnp.where(cum_big > cap_k, over, 0)
         )
-    else:
-        tile_id_flat, slot_flat = tile_id_1, slot_1
+    tile_id_flat = (
+        jnp.concatenate(tile_parts) if len(tile_parts) > 1 else tile_parts[0]
+    )
+    slot_flat = (
+        jnp.concatenate(slot_parts) if len(slot_parts) > 1 else slot_parts[0]
+    )
     n_cand = tile_id_flat.shape[0]
 
     # ---- 4. ONE sort by tile groups each tile's instances; within-tile

@@ -195,8 +195,13 @@ def _fwd_kernel(
         a, _, _, _, gate = _chunk_alpha(data, px, py, lane_mask)
 
         om = 1.0 - a  # >= 0.01 (a <= 0.99)
-        p_full = p_raw * _lane_cumprod(om)
-        p_prev = p_full / om  # exclusive scan, for free
+        cp = _lane_cumprod(om)
+        p_full = p_raw * cp
+        # exclusive prefix: roll the inclusive product right one lane (lane 0
+        # continues from the previous chunk's carry). Replaces a per-element
+        # divide (p_full / om, ~8 VPU ops each) with a roll+select — and is
+        # exact instead of reconstructing through rounding.
+        p_prev = p_raw * jnp.where(lane == 0, 1.0, pltpu.roll(cp, 1, axis=1))
         include = p_full >= TRANSMITTANCE_EPS
         weight = jnp.where(include, a * p_prev, 0.0)  # (NPIX, CHUNK)
 
@@ -315,9 +320,15 @@ def _bwd_kernel(
         a = jnp.where(mask, a, 0.0)
 
         one_minus = jnp.maximum(1.0 - a, 1e-6)
-        # suffix product sp_i = prod_{j>=i} (1 - a_j)
-        sp = _lane_cumprod(one_minus, reverse=True)
-        t_i = ta / sp  # (NPIX, CHUNK) transmittance before instance i
+        # t_i (transmittance before instance i) via a forward exclusive
+        # prefix product from the chunk-start transmittance: one per-pixel
+        # divide (chunk total) instead of a full elementwise divide by the
+        # suffix product (exactly the same quantity, fewer VPU ops).
+        cp = _lane_cumprod(one_minus)  # inclusive prefix
+        ta_before = ta / cp[:, -1:]
+        t_i = ta_before * jnp.where(
+            lane == 0, 1.0, pltpu.roll(cp, 1, axis=1)
+        )  # (NPIX, CHUNK)
         w = a * t_i
 
         gc = (
@@ -369,7 +380,7 @@ def _bwd_kernel(
         copy_out.start()
         copy_out.wait()
 
-        ta_new = ta / sp[:, 0:1]
+        ta_new = ta_before
         g_dot_ra_new = g_dot_ra + s[:, 0:1]
         return ta_new, g_dot_ra_new
 

@@ -70,9 +70,22 @@ def main() -> None:
     print(f"params: {n_params/1e6:.1f}M", flush=True)
 
     encoder_only = "encoder_only" in sys.argv
+    bf16net = "bf16net" in sys.argv
 
     def forward(params, batch):
-        out = encoder.apply(params, batch["context"], training=False)
+        context = batch["context"]
+        if bf16net:
+            from my_depthsplat_tpu.models.precision import (
+                cast_network_inputs,
+                cast_outputs_f32,
+            )
+
+            params, context = cast_network_inputs(params, context, jnp.bfloat16)
+            out = cast_outputs_f32(
+                encoder.apply(params, context, training=False)
+            )
+        else:
+            out = encoder.apply(params, context, training=False)
         if encoder_only:
             # the reference's 0.6 s headline is feed-forward RECONSTRUCTION
             # (images -> gaussians); rendering frames is a separate step

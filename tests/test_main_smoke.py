@@ -25,10 +25,10 @@ vit_mod.INTERMEDIATE_LAYER_IDX["vits"] = [0, 1, 2, 3]
 """
 
 
-def _run_cli(tmp_path, overrides, timeout=420):
+def _run_cli(tmp_path, overrides, timeout=420, extra_patch=""):
     shim_dir = tmp_path / "shim"
     shim_dir.mkdir(exist_ok=True)
-    (shim_dir / "_tiny_vit_patch.py").write_text(_TINY_VIT_PATCH)
+    (shim_dir / "_tiny_vit_patch.py").write_text(_TINY_VIT_PATCH + extra_patch)
     runner = shim_dir / "run.py"
     runner.write_text(
         "import sys\n"

@@ -273,28 +273,40 @@ def test_cli_pretrained_slots_and_save_top_k(tmp_path):
     ckpts = sorted((tmp_path / "out1" / "checkpoints").iterdir())
     assert [c.name for c in ckpts] == ["step_2", "step_3"]  # top-k pruned
 
-    # each slot loads through the CLI
-    for slot in ("pretrained_model", "pretrained_monodepth", "pretrained_depth"):
-        r2 = _run_cli(
-            tmp_path,
-            common + [
-                f"output_dir={tmp_path / f'out_{slot}'}",
-                "trainer.max_steps=1",
-                "checkpointing.every_n_train_steps=100",
-                f"checkpointing.{slot}={ckpts[-1]}",
-            ],
-        )
-        assert r2.returncode == 0, r2.stderr[-3000:]
-        assert f"loaded" in r2.stdout and slot.split("_")[1][:5] in r2.stdout
+    # all three slots load through the CLI (applied in reference order in
+    # one run — each prints its own confirmation)
+    r2 = _run_cli(
+        tmp_path,
+        common + [
+            f"output_dir={tmp_path / 'out_slots'}",
+            "trainer.max_steps=1",
+            "checkpointing.every_n_train_steps=100",
+            f"checkpointing.pretrained_model={ckpts[-1]}",
+            f"checkpointing.pretrained_monodepth={ckpts[-1]}",
+            f"checkpointing.pretrained_depth={ckpts[-1]}",
+        ],
+    )
+    assert r2.returncode == 0, r2.stderr[-3000:]
+    assert "loaded pretrained_model" in r2.stdout
+    assert "loaded pretrained_monodepth" in r2.stdout
+    assert "loaded pretrained depth slot" in r2.stdout
+
+
+_TINY_LPIPS_PATCH = """
+import my_depthsplat_tpu.train.lpips_net as lpips_mod
+lpips_mod._VGG_STAGES = ((8, 1), (16, 1))
+"""
 
 
 @pytest.mark.slow
-def test_cli_lpips_wiring(tmp_path):
+def test_cli_lpips_wiring(tmp_path, monkeypatch):
     """LPIPS appears in train logs and scores_all_avg.json when a weights
-    file is configured (VERDICT missing #1)."""
-    from my_depthsplat_tpu.train.lpips_net import LPIPS
+    file is configured (VERDICT missing #1). The VGG is shrunk identically
+    in this process (weight generation) and the CLI subprocess."""
+    from my_depthsplat_tpu.train import lpips_net
 
-    net = LPIPS()
+    monkeypatch.setattr(lpips_net, "_VGG_STAGES", ((8, 1), (16, 1)))
+    net = lpips_net.LPIPS()
     params = net.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)),
                       jnp.zeros((1, 32, 32, 3)))
     weights = tmp_path / "lpips.npz"
@@ -328,7 +340,7 @@ def test_cli_lpips_wiring(tmp_path):
         "checkpointing.every_n_train_steps=100",
         "data_loader.batch_size=1",
     ]
-    r = _run_cli(tmp_path, common, timeout=600)
+    r = _run_cli(tmp_path, common, timeout=600, extra_patch=_TINY_LPIPS_PATCH)
     assert r.returncode == 0, r.stderr[-3000:]
     lines = [
         json.loads(l)
@@ -337,7 +349,8 @@ def test_cli_lpips_wiring(tmp_path):
     lpips_vals = [l["loss/lpips"] for l in lines if "loss/lpips" in l]
     assert lpips_vals and any(v != 0.0 for v in lpips_vals)
 
-    r2 = _run_cli(tmp_path, common + ["mode=test"], timeout=600)
+    r2 = _run_cli(tmp_path, common + ["mode=test"], timeout=600,
+                  extra_patch=_TINY_LPIPS_PATCH)
     assert r2.returncode == 0, r2.stderr[-3000:]
     scores = json.loads(
         (tmp_path / "out" / "test" / "scores_all_avg.json").read_text()
