@@ -2,12 +2,15 @@
 
 Replaces the CUDA pipeline's duplicate-with-keys + radix-sort + per-tile ranges
 (the diff-gaussian-rasterization preprocessing the reference drives from
-cuda_splatting.py) with static-shaped XLA ops, laid out around the TPU cost
-model measured on v5e (device-profiler numbers, not wall clock):
+cuda_splatting.py) with static-shaped XLA ops + a Pallas expansion kernel,
+laid out around the TPU cost model measured on v5e (device-profiler numbers,
+not wall clock):
 
 - gathers/scatters cost ~8-10 ns per INDEX in 32-bit dtypes regardless of row
   width, but 16-bit-dtype gathers run 3-4x faster — so every gather here
-  round-trips through an exact f32 <-> 2xu16 bitcast;
+  round-trips through an exact f32 <-> 2xu16 bitcast, and gathers sharing an
+  index set are COMBINED into one multi-row table gather (per-index cost is
+  width-free);
 - multi-operand sorts cost ~4-5x a single packed-int32-key sort;
 - the per-instance "pack" gather and its scatter-add transpose are the
   dominant costs, so the layout avoids every *other* per-lane index gather:
@@ -19,16 +22,18 @@ Pipeline:
 1. gaussians are depth-sorted once globally (B*G elements, not B*G*R —
    per-view order is what matters and a tile belongs to exactly one view, so
    a global depth sort gives depth-ascending order within every tile);
-2. per-gaussian rect/validity data moves to depth-sorted ("slot") space with
-   one u16-packed row gather;
+2. per-gaussian rect/validity data AND the 16 packed screen rows move to
+   depth-sorted ("slot") space with ONE combined u16-packed 38-row gather;
 3. every slot spawns up to ``max_tiles_per_gaussian`` candidate (tile, slot)
-   instances covering its screen rect (overflow beyond the cap is counted and
-   dropped — the CUDA version has dynamic allocation);
-4. candidates are sorted ONCE: when ``(n_tiles+1) * B*G`` fits in int31 the
-   (tile, slot) pair packs into a single int32 key (slot order = depth order,
-   so the packed sort reproduces the CUDA radix sort over composite
-   [tile | depth-bits] keys); otherwise a stable single-key sort with the
-   slot as payload;
+   instances covering its screen rect, emitted as packed int32 sort keys by
+   the Pallas expansion kernel (expand.py) in depth-sorted slot order, in
+   three tiers (overflow beyond each tier cap is counted and dropped — the
+   CUDA version has dynamic allocation);
+4. candidates are sorted ONCE: when ``(n_tiles+1) * 2^slot_bits`` fits in
+   int31 the (tile, slot) pair packs into a single int32 key (slot order =
+   depth order, so the packed sort reproduces the CUDA radix sort over
+   composite [tile | depth-bits] keys); otherwise a stable single-key sort
+   with the slot as payload;
 5. the kernel reads each tile's run of the sorted array IN PLACE (truncated
    to a static ``instance_budget`` prefix): runs are contiguous and ascending
    by tile, so the backward kernel's chunk windows overlap only LATER tiles'
@@ -49,6 +54,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from .camera import ALPHA_MIN, TILE
+from .expand import _rect_quadratic_min, expand_keys
 from .projection import ScreenGaussians
 
 # Packed per-instance rows (f32): x, y, conic_a, conic_b, conic_c, opacity,
@@ -77,82 +83,49 @@ def _to_u16(x: Array) -> Array:
     return pairs.transpose(2, 0, 1).reshape(2 * r, n)
 
 
-def _from_u16(x: Array) -> Array:
-    """(2R, N) u16 [lo rows | hi rows] -> (R, N) f32 (inverse of _to_u16)."""
-    r = x.shape[0] // 2
-    lo = x[:r].astype(jnp.uint32)
-    hi = x[r:].astype(jnp.uint32)
-    w = (hi << 16) | lo
+def _from_u16_pair(lo: Array, hi: Array) -> Array:
+    """(R, N) u16 lo rows + (R, N) u16 hi rows -> (R, N) f32 (exact)."""
+    w = (hi.astype(jnp.uint32) << 16) | lo.astype(jnp.uint32)
     return jax.lax.bitcast_convert_type(w.astype(jnp.int32), jnp.float32)
 
 
-@jax.custom_vjp
-def _permute_rows(rows: Array, order: Array, inv_order: Array):
-    """rows (PACKED_ROWS, BG) f32 in gaussian order -> (PACKED_ROWS, BG) f32
-    in depth-sorted slot space: rows[:, order], as one u16 gather. The VJP is
-    the exact inverse permutation (another u16 gather — XLA's default
-    transpose of a gather is a far slower scatter-add)."""
-    return _from_u16(_to_u16(rows)[:, order])
-
-
-def _permute_rows_fwd(rows, order, inv_order):
-    return _permute_rows(rows, order, inv_order), (inv_order,)
-
-
-def _permute_rows_bwd(res, g):
-    (inv_order,) = res
-    return _from_u16(_to_u16(g)[:, inv_order]), None, None
-
-
-_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+def _from_u16(x: Array) -> Array:
+    """(2R, N) u16 [lo rows | hi rows] -> (R, N) f32 (inverse of _to_u16)."""
+    r = x.shape[0] // 2
+    return _from_u16_pair(x[:r], x[r:])
 
 
 @jax.custom_vjp
-def _pack_lanes(rows_slot: Array, slot_idx: Array):
-    """rows_slot (PACKED_ROWS, BG) f32 in slot space -> (PACKED_ROWS, L) f32
-    per-instance lanes: rows_slot[:, slot_idx] as one u16 gather."""
-    return _from_u16(_to_u16(rows_slot)[:, slot_idx])
+def _pack_lanes(rows_slot_u16: Array, rows: Array, slot_idx: Array, inv_order: Array):
+    """Per-instance lane pack: rows_slot_u16 (2*PACKED_ROWS, BG) u16 [lo|hi]
+    in depth-sorted slot space -> (PACKED_ROWS, L) f32, as one u16 gather.
+
+    ``rows`` (the gaussian-order f32 source of rows_slot_u16) is the gradient
+    carrier: packed == rows[:, order][:, slot_idx], so the VJP scatter-adds
+    into slot space and applies the exact inverse permutation back to
+    gaussian order (both as the measured-fast u16 forms)."""
+    del rows, inv_order
+    r2 = rows_slot_u16.shape[0] // 2
+    g = rows_slot_u16[:, slot_idx]
+    return _from_u16_pair(g[:r2], g[r2:])
 
 
-def _pack_lanes_fwd(rows_slot, slot_idx):
-    return _pack_lanes(rows_slot, slot_idx), (slot_idx, rows_slot.shape[1])
+def _pack_lanes_fwd(rows_slot_u16, rows, slot_idx, inv_order):
+    out = _pack_lanes(rows_slot_u16, rows, slot_idx, inv_order)
+    return out, (slot_idx, inv_order, rows.shape[1])
 
 
 def _pack_lanes_bwd(res, g):
-    slot_idx, bg_count = res
-    # f32 scatter-add per lane is the one unavoidable arithmetic reduction.
+    slot_idx, inv_order, bg_count = res
+    # f32 scatter-add per lane is the one unavoidable arithmetic reduction
+    # (measured per-index-bound at ~12 ns regardless of accumulator size or
+    # row count; see scripts/profile_scatter_variants.py).
     d_slot = jnp.zeros((g.shape[0], bg_count), g.dtype).at[:, slot_idx].add(g)
-    return d_slot, None
+    d_rows = _from_u16(_to_u16(d_slot)[:, inv_order])
+    return None, d_rows, None, None
 
 
 _pack_lanes.defvjp(_pack_lanes_fwd, _pack_lanes_bwd)
-
-
-def _rect_quadratic_min(ca, cb, cc, x0, x1, y0, y1):
-    """Min of q(x, y) = ca*x^2 + 2*cb*x*y + cc*y^2 over the box
-    [x0, x1] x [y0, y1], assuming the conic (ca, cb; cb, cc) is positive
-    definite. Elementwise over any broadcastable shapes.
-
-    If the origin is inside the box the min is 0; otherwise it lies on the
-    boundary, and on each edge the 1-D quadratic has a closed-form clamped
-    minimizer (e.g. on x = xe: y* = clip(-cb*xe/cc, y0, y1))."""
-    inside = (x0 <= 0.0) & (x1 >= 0.0) & (y0 <= 0.0) & (y1 >= 0.0)
-    ca_s = jnp.where(ca > 0.0, ca, 1.0)
-    cc_s = jnp.where(cc > 0.0, cc, 1.0)
-
-    def edge_x(xe):
-        ye = jnp.clip(-cb * xe / cc_s, y0, y1)
-        return ca * xe * xe + 2.0 * cb * xe * ye + cc * ye * ye
-
-    def edge_y(ye):
-        xe = jnp.clip(-cb * ye / ca_s, x0, x1)
-        return ca * xe * xe + 2.0 * cb * xe * ye + cc * ye * ye
-
-    q_edge = jnp.minimum(
-        jnp.minimum(edge_x(x0), edge_x(x1)),
-        jnp.minimum(edge_y(y0), edge_y(y1)),
-    )
-    return jnp.where(inside, 0.0, q_edge)
 
 
 def build_tile_instances_batched(
@@ -203,12 +176,14 @@ def build_tile_instances_batched(
     )
     _, inv_order = jax.lax.sort((order, iota), num_keys=1, is_stable=True)
 
-    # ---- 2. rect/validity data to slot space with ONE u16 row gather
-    # (fields are small integers; u16 gathers are 3-4x faster than i32).
-    # (8, BG)-shaped — rows-major so per-field access is a contiguous slice;
-    # a (BG, 8) table reads back through minor-dim-8 slices that pad the
-    # 128-lane tile 16x.
-    vid = iota // g
+    # ---- 2. ONE combined u16 row gather moves everything to slot space:
+    # rect/validity rows (6) + the 16 packed screen rows as u16 pairs (32).
+    # Gather cost is per index and width-free, so combining the previously
+    # separate rect and row gathers halves the layout's gather bill.
+    # (8, BG)-rows-major so per-field access is a contiguous slice.
+    vid = jnp.broadcast_to(
+        jnp.arange(b, dtype=jnp.int32)[:, None], (b, g)
+    ).reshape(-1)  # view id WITHOUT an iota//g divide (measured 0.4 ms)
     area_c = jnp.minimum(area.reshape(-1), r)
     rect_u16 = jnp.stack(
         [
@@ -221,15 +196,7 @@ def build_tile_instances_batched(
         ],
         axis=0,
     ).astype(jnp.uint16)  # (6, BG)
-    rect_s_u16 = rect_u16[:, order]  # (6, BG) in slot space
-    rect_s = rect_s_u16.astype(jnp.int32)
-    rmin_x_s, rmin_y_s = rect_s[0], rect_s[1]
-    rw_s, area_s = rect_s[2], rect_s[3]
-    valid_s, vid_s = rect_s[4] > 0, rect_s[5]
 
-    # ---- 2b. per-instance screen rows, permuted once to slot space (exact
-    # u16 gather with an exact-gather VJP). Reused by the cull test below and
-    # by the lane pack in step 6.
     rows = jnp.concatenate(
         [
             jnp.stack(
@@ -248,80 +215,37 @@ def build_tile_instances_batched(
             jnp.zeros((PACKED_ROWS - _N_DATA_ROWS, bg_count), jnp.float32),
         ]
     )  # (PACKED_ROWS, BG)
-    rows_slot = _permute_rows(rows, order, inv_order)
 
-    # ---- 3. expand candidate tiles in depth-sorted slot order, in two
-    # tiers. Most gaussians touch <= T1 tiles, so expanding every slot to the
+    table = jnp.concatenate([rect_u16, _to_u16(rows)], axis=0)  # (38, BG)
+    table_s = table[:, order]  # ONE gather to slot space
+    rect_s = table_s[:6].astype(jnp.int32)
+    rmin_x_s, rmin_y_s = rect_s[0], rect_s[1]
+    rw_s, area_s = jnp.maximum(rect_s[2], 1), rect_s[3]
+    valid_s, vid_s = rect_s[4] > 0, rect_s[5]
+    rows_slot_u16 = table_s[6:]  # (32, BG) u16 [lo 16 | hi 16]
+    # screen columns needed by the cull/expansion: x, y, conic, opacity
+    cull6 = _from_u16_pair(table_s[6:12], table_s[22:28])  # (6, BG) f32
+    # tier sub-table: rect rows + cull u16 pairs, gathered once per tier
+    sub_rows = jnp.concatenate(
+        [table_s[:6], table_s[6:12], table_s[22:28]], axis=0
+    )  # (18, BG) u16
+
+    # ---- 3. expand candidate tiles in depth-sorted slot order, in three
+    # tiers. Most gaussians touch <= 4 tiles, so expanding every slot to the
     # full per-gaussian cap R wastes ~R/avg_tiles of the candidate sort (its
     # cost is per element, live or not). Tier 1 expands ALL slots to their
-    # first T1 bbox tiles; tier 2 compacts the slots whose bbox area exceeds
-    # T1 to a static-size prefix (one cheap BG-length sort) and expands only
-    # those to tiles [T1, R). (tile, slot) pairs stay unique across tiers, so
-    # one packed sort of the concatenated candidates reproduces the same
-    # depth-ordered runs as the flat (BG, R) expansion.
-    cull = jax.lax.stop_gradient(rows_slot)
-    xs, ys = cull[0], cull[1]
-    ca_q, cb_q, cc_q, op_q = cull[2], cull[3], cull[4], cull[5]
-    # exact ellipse-tile cull threshold. The compositing kernel gates every
-    # contribution on alpha = min(0.99, op*exp(-q/2)) >= ALPHA_MIN, so a
-    # candidate whose quadratic form q exceeds 2*ln(op/ALPHA_MIN) over the
-    # WHOLE tile rect is an exact zero in both the forward and the backward
-    # — dropping it is output-invariant. The min over the continuous rect
-    # lower-bounds the min over pixel centers (conservative), and a small
-    # slack on the threshold absorbs f32 rounding differences vs the
-    # kernel's exp-based test. The CUDA pipeline bins by the circular-radius
-    # bbox only; for anisotropic gaussians this cuts most corner tiles.
-    pd = (ca_q > 0.0) & (cc_q > 0.0) & (ca_q * cc_q - cb_q * cb_q > 0.0)
-    thr = 2.0 * jnp.log(jnp.maximum(op_q, 1e-12) / ALPHA_MIN) + 1e-3
-
-    def expand(j, jmax, slot_ids, rmin_x, rmin_y, rw, area, valid, vid,
-               xs_, ys_, ca_, cb_, cc_, pd_, thr_):
-        """Candidate tiles j (J, 1) for slots (1, S) with their per-slot
-        screen columns (1, S); returns (tile_id, slot) flattened to (J*S,).
-        Everything is (J, S)-shaped — minor dim = slots — so the arrays tile
-        the 128-lane registers densely ((S, J) with J ~ 4 pads 32x). Culled
-        and invalid candidates carry the sentinel tile id."""
-        # j // rw and j % rw as comparison sums: j < jmax is tiny, and
-        # variable int32 div/rem lowers to a long VPU sequence.
-        jdiv = jnp.zeros(jnp.broadcast_shapes(j.shape, rw.shape), jnp.int32)
-        for k in range(1, jmax):
-            jdiv = jdiv + (j >= k * rw).astype(jnp.int32)
-        ty = rmin_y + jdiv
-        tx = rmin_x + (j - jdiv * rw)
-        ok = (j < area) & valid
-        x0 = (tx * TILE).astype(jnp.float32) - xs_
-        y0 = (ty * TILE).astype(jnp.float32) - ys_
-        qmin = _rect_quadratic_min(
-            ca_, cb_, cc_,
-            x0, x0 + float(TILE - 1), y0, y0 + float(TILE - 1),
-        )
-        ok &= jnp.where(pd_, qmin <= thr_, True)
-        tid = jnp.where(ok, ty * grid_x + tx + vid * n_tiles, n_tiles_total)
-        slot = jnp.broadcast_to(slot_ids, tid.shape)
-        return tid.astype(jnp.int32).reshape(-1), slot.reshape(-1)
-
+    # first 4 bbox tiles; upper tiers compact the slots whose bbox area
+    # exceeds the tier bound to a static-size prefix (one cheap BG-length
+    # sort each) and expand only those over the tier's tile range. Tier
+    # widths/caps follow the measured area distribution (typical trained
+    # scenes: >90% of gaussians within 4 tiles, ~99% within 9). (tile, slot)
+    # pairs stay unique across tiers, so one packed sort of the concatenated
+    # candidates reproduces the same depth-ordered runs as a flat (BG, R)
+    # expansion. Excess slots past a cap lose that tier's tiles (counted in
+    # num_dropped, deepest-first by the stable depth order); big_tile_cap
+    # raises the caps for large-splat regimes.
     t1 = min(4, r)
     all_slots = jnp.arange(bg_count, dtype=jnp.int32)
-    j1 = jnp.arange(t1, dtype=jnp.int32)[:, None]
-    row = lambda x: x[None, :]
-    tile_id_1, slot_1 = expand(
-        j1, t1, row(all_slots),
-        row(rmin_x_s), row(rmin_y_s), row(rw_s),
-        row(area_s), row(valid_s), row(vid_s),
-        row(xs), row(ys), row(ca_q), row(cb_q), row(cc_q), row(pd), row(thr),
-    )
-    tile_parts = [tile_id_1]
-    slot_parts = [slot_1]
-
-    # Upper tiers: slots whose bbox exceeds the tier's lower bound are
-    # compacted to a static-size prefix (one cheap BG-length sort each) and
-    # expanded only over that tier's tile range. Tier widths/caps follow the
-    # measured area distribution (typical trained scenes: >90% of gaussians
-    # within 4 tiles, ~99% within 9), so the candidate array — whose sort
-    # and gather costs are per element, live or not — stays ~30% smaller
-    # than a single wide tier. Excess slots past a cap lose that tier's
-    # tiles (counted in num_dropped, deepest-first by the stable depth
-    # order); big_tile_cap raises the caps for large-splat regimes.
     base_cap = (
         min(bg_count, big_tile_cap)
         if big_tile_cap is not None
@@ -333,7 +257,13 @@ def build_tile_instances_batched(
         tiers.append((t1, mid, base_cap))
         if r > mid:
             tiers.append((mid, r, min(bg_count, max(128, base_cap // 8))))
-    for lo, hi, cap_k in tiers:
+
+    slot_bits = max(1, (bg_count - 1).bit_length())
+    slot_mask = (1 << slot_bits) - 1
+    fast = (n_tiles_total + 1) << slot_bits <= jnp.iinfo(jnp.int32).max
+    from . import pallas_raster as _pr  # lazy: shares the INTERPRET switch
+
+    def tier_compact(lo, hi, cap_k):
         is_small = jnp.where(valid_s & (area_s > lo), 0, 1).astype(jnp.int32)
         _, big_slots_full = jax.lax.sort(
             (is_small, all_slots), num_keys=1, is_stable=True
@@ -341,56 +271,52 @@ def build_tile_instances_batched(
         n_big = jnp.sum(1 - is_small)
         big_slots = big_slots_full[:cap_k]  # (cap_k,)
         big_live = jnp.arange(cap_k, dtype=jnp.int32) < n_big
-        rect_b = rect_s_u16[:, big_slots].astype(jnp.int32)
-        # big-slot screen columns with ONE u16 gather (a per-column f32
-        # gather costs 3-4x more per index)
-        cull_b = _from_u16(_to_u16(cull)[:, big_slots])
-        xs_b, ys_b = cull_b[0], cull_b[1]
-        ca_b, cb_b, cc_b, op_b = cull_b[2], cull_b[3], cull_b[4], cull_b[5]
-        pd_b = (ca_b > 0.0) & (cc_b > 0.0) & (ca_b * cc_b - cb_b * cb_b > 0.0)
-        thr_b = 2.0 * jnp.log(jnp.maximum(op_b, 1e-12) / ALPHA_MIN) + 1e-3
-        j_k = jnp.arange(lo, hi, dtype=jnp.int32)[:, None]
-        tile_id_k, slot_k = expand(
-            j_k, hi, row(big_slots),
-            row(rect_b[0]), row(rect_b[1]),
-            row(jnp.maximum(rect_b[2], 1)),
-            row(rect_b[3]), row(big_live), row(rect_b[5]),
-            row(xs_b), row(ys_b), row(ca_b), row(cb_b), row(cc_b),
-            row(pd_b), row(thr_b),
+        sub = sub_rows[:, big_slots]  # ONE u16 gather (18, cap_k)
+        valid_row = (sub[4].astype(jnp.int32) * big_live).astype(jnp.uint16)
+        rect_b_u16 = jnp.concatenate(
+            [sub[:4], valid_row[None], sub[5:6]], axis=0
         )
-        tile_parts.append(tile_id_k)
-        slot_parts.append(slot_k)
+        cull_b = _from_u16_pair(sub[6:12], sub[12:18])
         # capacity overflow: tiles [lo, min(area, hi)) of slots past the cap
         over = jnp.where(
-            (1 - is_small) == 1,
-            jnp.minimum(area_s, hi) - lo,
-            0,
+            (1 - is_small) == 1, jnp.minimum(area_s, hi) - lo, 0
         )
         cum_big = jnp.cumsum(1 - is_small)  # rank of each big slot (1-based)
-        num_dropped = num_dropped + jnp.sum(
-            jnp.where(cum_big > cap_k, over, 0)
-        )
-    tile_id_flat = (
-        jnp.concatenate(tile_parts) if len(tile_parts) > 1 else tile_parts[0]
-    )
-    slot_flat = (
-        jnp.concatenate(slot_parts) if len(slot_parts) > 1 else slot_parts[0]
-    )
-    n_cand = tile_id_flat.shape[0]
+        dropped_k = jnp.sum(jnp.where(cum_big > cap_k, over, 0))
+        return rect_b_u16, cull_b, big_slots, big_live, dropped_k
 
-    # ---- 4. ONE sort by tile groups each tile's instances; within-tile
-    # order = slot order = depth order (the CUDA [tile|depth] radix sort).
-    # Invalid candidates carry the sentinel tile id and sort to the very end.
-    cap = n_cand if instance_budget is None else min(b * instance_budget, n_cand)
-    total = cap + chunk  # static layout length (chunk slack for DMA overrun)
-    tiles = jnp.arange(n_tiles_total, dtype=jnp.int32)
-    slot_bits = max(1, (bg_count - 1).bit_length())
-    slot_mask = (1 << slot_bits) - 1
-    if (n_tiles_total + 1) << slot_bits <= jnp.iinfo(jnp.int32).max:
-        # fast path: pack (tile, slot) into one int32 key — ~4x faster than a
-        # two-operand sort on TPU. Slot ids of the live prefix come back out
-        # of the keys elementwise (no gather).
-        key = (tile_id_flat << slot_bits) | slot_flat
+    if fast:
+        # fast path: the Pallas expansion kernel emits packed (tile, slot)
+        # int32 keys directly — ~4x faster than a two-operand sort downstream
+        # AND no XLA int-op soup upstream. Slot ids of the live prefix come
+        # back out of the keys elementwise (no gather).
+        key_parts = [
+            expand_keys(
+                table_s[:6], cull6, None, 0, t1,
+                grid_x, n_tiles, n_tiles_total, slot_bits, _pr.INTERPRET,
+            ).reshape(-1)
+        ]
+        for lo, hi, cap_k in tiers:
+            rect_b_u16, cull_b, big_slots, big_live, dropped_k = tier_compact(
+                lo, hi, cap_k
+            )
+            key_parts.append(
+                expand_keys(
+                    rect_b_u16, cull_b, big_slots, lo, hi,
+                    grid_x, n_tiles, n_tiles_total, slot_bits, _pr.INTERPRET,
+                ).reshape(-1)
+            )
+            num_dropped = num_dropped + dropped_k
+        key = (
+            jnp.concatenate(key_parts) if len(key_parts) > 1 else key_parts[0]
+        )
+        n_cand = key.shape[0]
+        cap = (
+            n_cand
+            if instance_budget is None
+            else min(b * instance_budget, n_cand)
+        )
+        total = cap + chunk  # static layout length (chunk slack for DMA)
         (sorted_key,) = jax.lax.sort((key,), num_keys=1)
         # one searchsorted over T+1 boundaries: end of tile t == start of
         # tile t+1 on packed keys (searchsorted lowers to a ~21-step while
@@ -409,9 +335,87 @@ def build_tile_instances_batched(
         slot_prefix = key_prefix & slot_mask
         lane_dead = key_prefix >= (n_tiles_total << slot_bits)
     else:
-        # slow path (only when (tile, slot) cannot pack into int32): the slot
-        # must be a real second key — the tiered candidate array is not
-        # generation-ordered by slot.
+        # slow path (only when (tile, slot) cannot pack into int32): XLA
+        # expansion producing (tile, slot) pairs and a stable two-key sort —
+        # the tiered candidate array is not generation-ordered by slot.
+        def expand(j, jmax, slot_ids, rmin_x, rmin_y, rw, area_, valid,
+                   vid_, xs_, ys_, ca_, cb_, cc_, pd_, thr_):
+            """Candidate tiles j (J, 1) for slots (1, S) with their per-slot
+            screen columns (1, S); returns (tile_id, slot) flattened to
+            (J*S,). Everything is (J, S)-shaped — minor dim = slots. Culled
+            and invalid candidates carry the sentinel tile id."""
+            jdiv = jnp.zeros(
+                jnp.broadcast_shapes(j.shape, rw.shape), jnp.int32
+            )
+            for k in range(1, jmax):
+                jdiv = jdiv + (j >= k * rw).astype(jnp.int32)
+            ty = rmin_y + jdiv
+            tx = rmin_x + (j - jdiv * rw)
+            ok = (j < area_) & valid
+            x0 = (tx * TILE).astype(jnp.float32) - xs_
+            y0 = (ty * TILE).astype(jnp.float32) - ys_
+            qmin = _rect_quadratic_min(
+                ca_, cb_, cc_,
+                x0, x0 + float(TILE - 1), y0, y0 + float(TILE - 1),
+            )
+            ok &= jnp.where(pd_, qmin <= thr_, True)
+            tid = jnp.where(
+                ok, ty * grid_x + tx + vid_ * n_tiles, n_tiles_total
+            )
+            slot = jnp.broadcast_to(slot_ids, tid.shape)
+            return tid.astype(jnp.int32).reshape(-1), slot.reshape(-1)
+
+        xs, ys = cull6[0], cull6[1]
+        ca_q, cb_q, cc_q, op_q = cull6[2], cull6[3], cull6[4], cull6[5]
+        pd = (ca_q > 0.0) & (cc_q > 0.0) & (ca_q * cc_q - cb_q * cb_q > 0.0)
+        thr = 2.0 * jnp.log(jnp.maximum(op_q, 1e-12) / ALPHA_MIN) + 1e-3
+        row = lambda x: x[None, :]
+        j1 = jnp.arange(t1, dtype=jnp.int32)[:, None]
+        tile_id_1, slot_1 = expand(
+            j1, t1, row(all_slots),
+            row(rmin_x_s), row(rmin_y_s), row(rw_s),
+            row(area_s), row(valid_s), row(vid_s),
+            row(xs), row(ys), row(ca_q), row(cb_q), row(cc_q),
+            row(pd), row(thr),
+        )
+        tile_parts = [tile_id_1]
+        slot_parts = [slot_1]
+        for lo, hi, cap_k in tiers:
+            rect_b_u16, cull_b, big_slots, big_live, dropped_k = tier_compact(
+                lo, hi, cap_k
+            )
+            rect_b = rect_b_u16.astype(jnp.int32)
+            xs_b, ys_b = cull_b[0], cull_b[1]
+            ca_b, cb_b, cc_b, op_b = cull_b[2], cull_b[3], cull_b[4], cull_b[5]
+            pd_b = (
+                (ca_b > 0.0) & (cc_b > 0.0) & (ca_b * cc_b - cb_b * cb_b > 0.0)
+            )
+            thr_b = 2.0 * jnp.log(jnp.maximum(op_b, 1e-12) / ALPHA_MIN) + 1e-3
+            j_k = jnp.arange(lo, hi, dtype=jnp.int32)[:, None]
+            tile_id_k, slot_k = expand(
+                j_k, hi, row(big_slots),
+                row(rect_b[0]), row(rect_b[1]), row(jnp.maximum(rect_b[2], 1)),
+                row(rect_b[3]), row(rect_b[4] > 0), row(rect_b[5]),
+                row(xs_b), row(ys_b), row(ca_b), row(cb_b), row(cc_b),
+                row(pd_b), row(thr_b),
+            )
+            tile_parts.append(tile_id_k)
+            slot_parts.append(slot_k)
+            num_dropped = num_dropped + dropped_k
+        tile_id_flat = (
+            jnp.concatenate(tile_parts) if len(tile_parts) > 1 else tile_parts[0]
+        )
+        slot_flat = (
+            jnp.concatenate(slot_parts) if len(slot_parts) > 1 else slot_parts[0]
+        )
+        n_cand = tile_id_flat.shape[0]
+        cap = (
+            n_cand
+            if instance_budget is None
+            else min(b * instance_budget, n_cand)
+        )
+        total = cap + chunk
+        tiles = jnp.arange(n_tiles_total, dtype=jnp.int32)
         sorted_tid, sorted_slot = jax.lax.sort(
             (tile_id_flat, slot_flat), num_keys=2, is_stable=True
         )
@@ -436,12 +440,12 @@ def build_tile_instances_batched(
 
     # ---- 6. pack per-instance screen rows: one u16 gather per lane with a
     # custom VJP (f32 scatter-add; the permutation back to gaussian order is
-    # _permute_rows' exact u16 gather).
+    # an exact u16 gather).
     slot_safe = jnp.where(lane_dead, 0, slot_prefix)
     # Dead lanes (sentinel candidates + slack tail) gather arbitrary rows —
     # harmless: no tile's count reaches them, so the kernels mask them and
     # their gradient chunks stay zero.
-    packed = _pack_lanes(rows_slot, slot_safe)
+    packed = _pack_lanes(rows_slot_u16, rows, slot_safe, inv_order)
 
     # Only consumed by direct callers (tests/debug) — DCE'd in the render
     # path, where the kernel reads `packed` alone.

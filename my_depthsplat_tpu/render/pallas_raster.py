@@ -144,8 +144,8 @@ def _fwd_kernel(
     bg_ref,  # (3,) f32 scalar-prefetch
     packed_ref,  # (PACKED_ROWS, L) in HBM/ANY
     out_ref,  # (1, 1, NPIX, OUTC) VMEM block
-    data_vmem,  # (PACKED_ROWS, CHUNK) scratch
-    sem,  # DMA semaphore
+    data_vmem,  # (2, PACKED_ROWS, CHUNK) double-buffered scratch
+    sem,  # (2,) DMA semaphores
 ):
     bb = pl.program_id(0)
     ty = pl.program_id(1)
@@ -167,6 +167,17 @@ def _fwd_kernel(
     px, py = _pixel_coords(ty, tx)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
+    def get_dma(c):
+        # chunk c's window into the double buffer slot c % 2
+        return pltpu.make_async_copy(
+            packed_ref.at[:, pl.ds(pl.multiple_of(base + c * CHUNK, _ALIGN), CHUNK)],
+            data_vmem.at[c % 2], sem.at[c % 2],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        get_dma(jnp.zeros((), jnp.int32)).start()
+
     def cond(carry):
         # early exit once every pixel's raw product is below the termination
         # threshold (the whole tile is done) — the CUDA analog of all threads
@@ -182,13 +193,14 @@ def _fwd_kernel(
         # background composites against).
         c, p_raw, t_frozen, rgb, ncon = carry
 
-        copy = pltpu.make_async_copy(
-            packed_ref.at[:, pl.ds(pl.multiple_of(base + c * CHUNK, _ALIGN), CHUNK)],
-            data_vmem, sem
-        )
-        copy.start()
-        copy.wait()
-        data = data_vmem[:, :]
+        # prefetch the next chunk while compositing this one (the blocking
+        # start/wait pair serialized ~1 us of DMA latency per chunk)
+        @pl.when(c + 1 < n_chunks)
+        def _():
+            get_dma(c + 1).start()
+
+        get_dma(c).wait()
+        data = data_vmem[c % 2]
 
         pos0 = c * CHUNK + lane - lead  # 0-based index within the run
         lane_mask = (pos0 >= 0) & (pos0 < count)
@@ -232,7 +244,13 @@ def _fwd_kernel(
         jnp.zeros((_NPIX, 3), jnp.float32),
         jnp.zeros((_NPIX, 1), jnp.float32),
     )
-    _, _, transmittance, rgb, ncon = jax.lax.while_loop(cond, body, init)
+    c_exit, _, transmittance, rgb, ncon = jax.lax.while_loop(cond, body, init)
+
+    # drain the prefetch issued by the last body before early exit —
+    # a dangling DMA would corrupt the next grid step's semaphore counts
+    @pl.when((n_chunks > 0) & (c_exit < n_chunks))
+    def _():
+        get_dma(c_exit).wait()
 
     bg = jnp.stack(
         [bg_ref[bb * 3 + 0], bg_ref[bb * 3 + 1], bg_ref[bb * 3 + 2]]
@@ -253,11 +271,11 @@ def _bwd_kernel(
     cot_ref,  # (1, 1, NPIX, OUTC) block — output cotangent (g_img in [:3])
     zeros_ref,  # ANY — aliased into dpacked (zero init); not read
     dpacked_ref,  # (PACKED_ROWS, L) in HBM/ANY — output
-    data_vmem,  # scratch (PACKED_ROWS, CHUNK)
-    dout_vmem,  # scratch (PACKED_ROWS, CHUNK)
+    data_vmem,  # scratch (2, PACKED_ROWS, CHUNK) — double-buffered reads
+    dout_vmem,  # scratch (2, PACKED_ROWS, CHUNK) — pipelined writes
     dprev_vmem,  # scratch (PACKED_ROWS, CHUNK) — RMW read of existing grads
-    sem_in,
-    sem_out,
+    sem_in,  # (2,)
+    sem_out,  # (2,)
     sem_prev,
 ):
     bb = pl.program_id(0)
@@ -292,26 +310,58 @@ def _bwd_kernel(
     # out of bounds, and a lead-only window would read AND write OOB).
     n_chunks = jnp.where(live > 0, pl.cdiv(lead + live, CHUNK), 0)
 
+    def window_of(c):
+        return pl.ds(pl.multiple_of(base + c * CHUNK, _ALIGN), CHUNK)
+
+    def in_dma(rev_c):
+        return pltpu.make_async_copy(
+            packed_ref.at[:, window_of(n_chunks - 1 - rev_c)],
+            data_vmem.at[rev_c % 2],
+            sem_in.at[rev_c % 2],
+        )
+
+    def out_dma(rev_c):
+        return pltpu.make_async_copy(
+            dout_vmem.at[rev_c % 2],
+            dpacked_ref.at[:, window_of(n_chunks - 1 - rev_c)],
+            sem_out.at[rev_c % 2],
+        )
+
+    @pl.when(n_chunks > 0)
+    def _():
+        in_dma(jnp.zeros((), jnp.int32)).start()
+
     def body(rev_c, carry):
         ta, g_dot_ra = carry  # transmittance after chunk, g . (color behind)
         c = n_chunks - 1 - rev_c
-        window = pl.ds(pl.multiple_of(base + c * CHUNK, _ALIGN), CHUNK)
+        window = window_of(c)
+        # A window's lanes belong exclusively to this tile's run unless it is
+        # the run's first chunk (<=127 leading lanes of earlier tiles) or
+        # reaches past the run's end (later tiles' lanes). Interior chunks
+        # skip the read-modify-write entirely: nothing else ever writes their
+        # lanes, and dpacked is zero-initialized via input aliasing.
+        interior = (c >= 1) & ((c + 1) * CHUNK <= lead + count)
 
-        copy = pltpu.make_async_copy(
-            packed_ref.at[:, window], data_vmem, sem_in
-        )
-        copy.start()
-        # Aligned windows overlap neighboring tiles' runs, so writes are
-        # read-modify-write: start the gradient read-back early and overlap
-        # it with the compute below. Grid steps execute sequentially, so RMW
-        # accumulation is race-free and each lane's gradient is written only
-        # by chunks that add zero outside their own live range.
+        # prefetch the next (reverse-order) chunk while computing this one
+        @pl.when(rev_c + 1 < n_chunks)
+        def _():
+            in_dma(rev_c + 1).start()
+
+        # Boundary windows overlap neighboring tiles' runs, so their writes
+        # are read-modify-write: start the gradient read-back early and
+        # overlap it with the compute below. Grid steps execute sequentially,
+        # so RMW accumulation is race-free and each lane's gradient is
+        # written only by chunks that add zero outside their own live range.
         copy_prev = pltpu.make_async_copy(
             dpacked_ref.at[:, window], dprev_vmem, sem_prev
         )
-        copy_prev.start()
-        copy.wait()
-        data = data_vmem[:, :]
+
+        @pl.when(jnp.logical_not(interior))
+        def _():
+            copy_prev.start()
+
+        in_dma(rev_c).wait()
+        data = data_vmem[rev_c % 2]
 
         pos0 = c * CHUNK + lane - lead  # 0-based index within the run
         lane_mask = (pos0 >= 0) & (pos0 < count)
@@ -355,36 +405,52 @@ def _bwd_kernel(
         d_cc = d_power * (-0.5 * dy * dy)
         # d_color rows computed directly as exact reductions over pixels
 
-        copy_prev.wait()
-        dprev = dprev_vmem[:, :]
-        dout_vmem[0:1, :] = dprev[0:1, :] + jnp.sum(d_x, axis=0, keepdims=True)
-        dout_vmem[1:2, :] = dprev[1:2, :] + jnp.sum(d_y, axis=0, keepdims=True)
-        dout_vmem[2:3, :] = dprev[2:3, :] + jnp.sum(d_ca, axis=0, keepdims=True)
-        dout_vmem[3:4, :] = dprev[3:4, :] + jnp.sum(d_cb, axis=0, keepdims=True)
-        dout_vmem[4:5, :] = dprev[4:5, :] + jnp.sum(d_cc, axis=0, keepdims=True)
-        dout_vmem[5:6, :] = dprev[5:6, :] + jnp.sum(d_op, axis=0, keepdims=True)
-        dout_vmem[6:7, :] = dprev[6:7, :] + jnp.sum(
+        # the previous iteration's out-copy reuses this slot: drain it first
+        @pl.when(rev_c >= 2)
+        def _():
+            out_dma(rev_c - 2).wait()
+
+        slot = rev_c % 2
+        dout_vmem[slot, 0:1, :] = jnp.sum(d_x, axis=0, keepdims=True)
+        dout_vmem[slot, 1:2, :] = jnp.sum(d_y, axis=0, keepdims=True)
+        dout_vmem[slot, 2:3, :] = jnp.sum(d_ca, axis=0, keepdims=True)
+        dout_vmem[slot, 3:4, :] = jnp.sum(d_cb, axis=0, keepdims=True)
+        dout_vmem[slot, 4:5, :] = jnp.sum(d_cc, axis=0, keepdims=True)
+        dout_vmem[slot, 5:6, :] = jnp.sum(d_op, axis=0, keepdims=True)
+        dout_vmem[slot, 6:7, :] = jnp.sum(
             w * g_img[:, 0:1], axis=0, keepdims=True
         )
-        dout_vmem[7:8, :] = dprev[7:8, :] + jnp.sum(
+        dout_vmem[slot, 7:8, :] = jnp.sum(
             w * g_img[:, 1:2], axis=0, keepdims=True
         )
-        dout_vmem[8:9, :] = dprev[8:9, :] + jnp.sum(
+        dout_vmem[slot, 8:9, :] = jnp.sum(
             w * g_img[:, 2:3], axis=0, keepdims=True
         )
-        dout_vmem[9:PACKED_ROWS, :] = dprev[9:PACKED_ROWS, :]
-
-        copy_out = pltpu.make_async_copy(
-            dout_vmem, dpacked_ref.at[:, window], sem_out
+        dout_vmem[slot, 9:PACKED_ROWS, :] = jnp.zeros(
+            (PACKED_ROWS - 9, CHUNK), jnp.float32
         )
-        copy_out.start()
-        copy_out.wait()
+
+        @pl.when(jnp.logical_not(interior))
+        def _():
+            copy_prev.wait()
+            dout_vmem[slot] = dout_vmem[slot] + dprev_vmem[:, :]
+
+        out_dma(rev_c).start()
 
         ta_new = ta_before
         g_dot_ra_new = g_dot_ra + s[:, 0:1]
         return ta_new, g_dot_ra_new
 
     jax.lax.fori_loop(0, n_chunks, body, (t_final, g_dot_ra0))
+
+    # drain the (up to two) out-copies still in flight after the last chunk
+    @pl.when(n_chunks >= 2)
+    def _():
+        out_dma(n_chunks - 2).wait()
+
+    @pl.when(n_chunks >= 1)
+    def _():
+        out_dma(n_chunks - 1).wait()
 
 
 def _tile_spec():
@@ -403,8 +469,8 @@ def _composite_fwd_impl(packed, starts, counts, background, grid_hw):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=_tile_spec(),
         scratch_shapes=[
-            pltpu.VMEM((PACKED_ROWS, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((2, PACKED_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -428,11 +494,11 @@ def _composite_bwd_impl(packed, starts, counts, background, grid_hw, fwd_out, co
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
+            pltpu.VMEM((2, PACKED_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, PACKED_ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((PACKED_ROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((PACKED_ROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((PACKED_ROWS, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
