@@ -80,6 +80,14 @@ class TrainerCfg:
     test_eval_max_scenes: int = 32
     num_nodes: int = 1
     print_log_every_n_steps: int = 10
+    # Device mesh shape (data, model): the CLI-reachable analog of the
+    # reference's trainer.num_nodes (src/config.py:35-41, main.py:140-156).
+    # mesh_data=-1 means "all devices / mesh_model". mesh_model>1 turns on
+    # intra-model sharding: depth-hypothesis + ring-view sharding in the
+    # encoder (encoder.spmd_depth_axis/spmd_view_axis set to "model") and
+    # rendered target views sharded over (data, model).
+    mesh_data: int = -1
+    mesh_model: int = 1
 
 
 @dataclass(frozen=True)

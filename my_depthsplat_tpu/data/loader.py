@@ -44,10 +44,14 @@ def data_loader(
     dataset,
     cfg: DataLoaderCfg,
     stage: str = "train",
-    global_step: int = 0,
+    global_step=0,
     epoch: int = 0,
 ) -> Iterator[dict]:
-    """Yield batched examples; infinite over epochs for train."""
+    """Yield batched examples; infinite over epochs for train.
+
+    ``global_step`` may be an int or a zero-arg callable returning the live
+    training step; callables keep view-sampler warm-up curricula advancing
+    mid-epoch (resolved per example in the samplers — view_samplers.py)."""
     while True:
         seed = (
             cfg.seed

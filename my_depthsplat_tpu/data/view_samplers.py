@@ -46,6 +46,15 @@ def farthest_point_sample(xyz: np.ndarray, npoint: int) -> np.ndarray:
     return centroids
 
 
+def resolve_step(global_step) -> int:
+    """Accepts an int or a zero-arg callable returning the live step.
+
+    The driver passes a callable so the curriculum advances with training
+    (the reference publishes the live step via StepTracker shared memory,
+    src/model/model_wrapper.py:371-373 + view_sampler.py:57-59)."""
+    return int(global_step()) if callable(global_step) else int(global_step)
+
+
 def _schedule(initial: int, final: int, step: int, warm_up: int) -> int:
     if warm_up <= 0:
         return final
@@ -74,6 +83,7 @@ class ViewSamplerBounded:
         rng: np.random.Generator,
         global_step: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
+        global_step = resolve_step(global_step)
         num_views = extrinsics.shape[0]
         if self.stage == "test":
             min_gap = max_gap = self.max_distance_between_context_views
@@ -145,6 +155,7 @@ class ViewSamplerBoundedV2:
         min_context_views: int = 0,
         max_context_views: int = 0,
     ) -> tuple[np.ndarray, np.ndarray]:
+        global_step = resolve_step(global_step)
         num_views = extrinsics.shape[0]
         if max_num_views is not None:
             num_views = min(num_views, max_num_views)

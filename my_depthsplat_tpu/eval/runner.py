@@ -8,6 +8,7 @@ peak_memory.json outputs.
 
 from __future__ import annotations
 
+import functools
 import json
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -21,6 +22,16 @@ from ..models import DecoderSplattingCfg, decode_splatting
 from ..utils.image_io import save_image
 from .benchmarker import Benchmarker
 from .metrics import compute_psnr, compute_ssim
+
+
+@functools.lru_cache(maxsize=None)
+def jitted_decode(decoder_cfg: DecoderSplattingCfg, hw: tuple[int, int]):
+    """One jitted decode per (decoder_cfg, resolution), shared across scenes
+    and across periodic-eval invocations — repeated eval must not recompile
+    (jit caches on this function object, which lru_cache keeps alive)."""
+    return jax.jit(
+        lambda g, e, i, n, f: decode_splatting(decoder_cfg, g, e, i, n, f, hw)
+    )
 
 
 @dataclass(frozen=True)
@@ -81,17 +92,16 @@ def run_test(
 
         chunk = cfg.render_chunk_size or v_tgt
         colors = []
+        decode = jitted_decode(decoder_cfg, (h, w))
         with bench.time("decoder", num_calls=v_tgt):
             for lo in range(0, v_tgt, chunk):
                 hi = min(lo + chunk, v_tgt)
-                dec = decode_splatting(
-                    decoder_cfg,
+                dec = decode(
                     gaussians,
                     jnp.asarray(batch["target"]["extrinsics"][:, lo:hi]),
                     jnp.asarray(batch["target"]["intrinsics"][:, lo:hi]),
                     jnp.asarray(batch["target"]["near"][:, lo:hi]),
                     jnp.asarray(batch["target"]["far"][:, lo:hi]),
-                    (h, w),
                 )
                 colors.append(dec.color)
                 if dec.num_dropped is not None:
@@ -251,16 +261,15 @@ def _render_trajectory_video(cfg: TestCfg, decoder_cfg, gaussians, batch,
     far = float(batch["context"]["far"][0, 0])
     frames = []
     chunk = cfg.render_chunk_size or 10
+    decode = jitted_decode(decoder_cfg, (h, w))
     for lo in range(0, len(t), chunk):
         hi = min(lo + chunk, len(t))
-        dec = decode_splatting(
-            decoder_cfg,
+        dec = decode(
             gaussians,
             jnp.asarray(poses[None, lo:hi]),
             jnp.asarray(intrs[None, lo:hi]),
             jnp.full((1, hi - lo), near),
             jnp.full((1, hi - lo), far),
-            (h, w),
         )
         frames.extend(np.asarray(dec.color[0]))
     save_video(frames, Path(cfg.output_dir) / scene / "video.mp4")

@@ -95,7 +95,7 @@ def jax_batch(batch: dict) -> dict:
 
 
 def _vit_depth(cfg: RootCfg) -> int:
-    return VIT_CONFIGS[cfg.encoder.monodepth_vit_type]["depth"]
+    return VIT_CONFIGS[cfg.encoder.monodepth_vit_type].depth
 
 
 def apply_pretrained_slots(cfg: RootCfg, state):
@@ -123,6 +123,30 @@ def apply_pretrained_slots(cfg: RootCfg, state):
     return state.replace(params=params)
 
 
+def build_parallel(cfg: RootCfg, devices=None):
+    """Mesh + SPMD wiring from trainer.mesh_data/mesh_model (the reference's
+    trainer.num_nodes surface, src/main.py:140-156). When mesh_model > 1 the
+    encoder's depth-hypothesis and ring-view sharding turn on
+    (spmd_depth_axis/spmd_view_axis = "model") and rendered target views
+    shard over (data, model). Returns (mesh, encoder_cfg, render_sharding);
+    shared by train() and __graft_entry__.dryrun_multichip so the validated
+    dry-run path IS the production path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(
+        MeshCfg(data=cfg.trainer.mesh_data, model=cfg.trainer.mesh_model),
+        devices=devices,
+    )
+    encoder_cfg = cfg.encoder
+    render_sharding = None
+    if mesh.shape["model"] > 1:
+        encoder_cfg = dataclasses.replace(
+            encoder_cfg, spmd_depth_axis="model", spmd_view_axis="model"
+        )
+        render_sharding = NamedSharding(mesh, P(("data", "model")))
+    return mesh, encoder_cfg, render_sharding
+
+
 def train(cfg: RootCfg) -> None:
     out_dir = Path(cfg.output_dir)
     out_dir.mkdir(exist_ok=True, parents=True)
@@ -131,7 +155,9 @@ def train(cfg: RootCfg) -> None:
     # Multi-host: one SPMD program per host over a pod-wide mesh (the
     # reference's Lightning DDP/NCCL num_nodes path, main.py:140-156).
     initialize_distributed()
-    mesh = make_mesh(MeshCfg(data=-1, model=1))
+    mesh, encoder_cfg, render_sharding = build_parallel(cfg)
+    cfg = dataclasses.replace(cfg, encoder=encoder_cfg)
+    jax.set_mesh(mesh)  # global: sharded train/eval programs resolve axes
     host_id = jax.process_index()
     num_hosts = jax.process_count()
 
@@ -148,7 +174,9 @@ def train(cfg: RootCfg) -> None:
         optimizer=cfg.optimizer,
         depth_mode=cfg.train.depth_mode,
     )
-    init_fn, train_step = make_train_step(train_cfg, lpips_apply_fn)
+    init_fn, train_step = make_train_step(
+        train_cfg, lpips_apply_fn, render_sharding=render_sharding
+    )
     step_fn = jax.jit(train_step, donate_argnums=(0,))
 
     dataset = build_dataset(cfg, "train", host_id, num_hosts)
@@ -170,11 +198,30 @@ def train(cfg: RootCfg) -> None:
     from .utils.logger import LocalLogger
 
     logger = LocalLogger(out_dir, run_name=out_dir.name) if host_id == 0 else None
-    loader = data_loader(dataset, loader_cfg, "train", global_step=start_step)
+    # Live-step curriculum: the loader reads this cell per example, so the
+    # bounded samplers' warm-up schedules actually advance during the run
+    # (the reference publishes the step through StepTracker every training
+    # step, model_wrapper.py:371-373 + view_sampler.py:57-59).
+    step_cell = {"step": start_step}
+    loader = data_loader(
+        dataset, loader_cfg, "train", global_step=lambda: step_cell["step"]
+    )
     # Held-out validation stream (model_wrapper.py:634-773 +
     # ValidationWrapper): a single repeating val sample, NOT the train batch.
     val_iter = _make_val_iter(cfg)
+    # One jitted eval-mode encoder for validation AND periodic test eval —
+    # built once so repeated evals hit jax.jit's cache instead of recompiling
+    # the encoder every interval.
+    from .models import EncoderDepthSplat
+
+    _eval_encoder = EncoderDepthSplat(cfg.encoder)
+    eval_apply = jax.jit(
+        lambda params, context: _eval_encoder.apply(
+            params, context, training=False
+        )
+    )
     log_every = cfg.trainer.print_log_every_n_steps
+    last_saved_step = -1
     t_last = time.time()
     for step_idx, batch in enumerate(loader):
         batch = prepare_batch(cfg, batch)
@@ -193,6 +240,7 @@ def train(cfg: RootCfg) -> None:
         state, logs = step_fn(state, jb)
 
         gstep = int(state.step)
+        step_cell["step"] = gstep
         if gstep % log_every == 0:
             jax.block_until_ready(logs["loss/total"])
             dt = (time.time() - t_last) / log_every
@@ -205,20 +253,24 @@ def train(cfg: RootCfg) -> None:
             # All hosts run validation (identical data/computation — a
             # host-0-only jit over pod-global params would desync); only
             # host 0 writes.
-            _run_validation(cfg, state, val_iter, gstep, logger)
+            _run_validation(cfg, state, val_iter, gstep, logger, eval_apply)
         if (
             cfg.trainer.test_eval_interval > 0
             and gstep % cfg.trainer.test_eval_interval == 0
         ):
             _run_periodic_test_eval(cfg, state, gstep, logger,
-                                    write=host_id == 0)
+                                    write=host_id == 0, eval_apply=eval_apply)
         if gstep % cfg.checkpointing.every_n_train_steps == 0:
             # all processes must enter the orbax save (multi-host safety)
             save_checkpoint(out_dir / "checkpoints", gstep, state,
                             keep=cfg.checkpointing.save_top_k)
+            last_saved_step = gstep
         if gstep >= cfg.trainer.max_steps:
             break
-    if state is not None:
+    # End-of-run save — skipped when the in-loop save already wrote this
+    # step (max_steps % every_n == 0 would otherwise collide with orbax's
+    # "destination already exists"). Same control flow on every host.
+    if state is not None and int(state.step) != last_saved_step:
         save_checkpoint(out_dir / "checkpoints", int(state.step), state,
                         keep=cfg.checkpointing.save_top_k)
     if logger is not None:
@@ -243,22 +295,20 @@ def _make_val_iter(cfg: RootCfg):
         return None
 
 
-def _run_validation(cfg, state, val_iter, step, logger) -> None:
+def _run_validation(cfg, state, val_iter, step, logger, eval_apply) -> None:
     """Held-out val render: val/psnr + comparison panel
-    (model_wrapper.py:634-773)."""
-    import jax.numpy as jnp
-
+    (model_wrapper.py:634-773). ``eval_apply`` is the train loop's cached
+    jitted encoder (params, context) -> out."""
     from .eval.metrics import compute_psnr
-    from .models import EncoderDepthSplat, decode_splatting
+    from .eval.runner import jitted_decode
     from .utils.layout import add_border, hcat, vcat
 
     if val_iter is None:
         return
     try:
         batch = prepare_batch(cfg, next(val_iter))
-        encoder = EncoderDepthSplat(cfg.encoder)
         jb = jax_batch(batch)
-        out = encoder.apply(state.params, jb["context"], training=False)
+        out = eval_apply(state.params, jb["context"])
         gaussians = out["gaussians"]
         if gaussians is None:  # depth-only mode: log depth panel only
             if logger is not None:
@@ -271,9 +321,9 @@ def _run_validation(cfg, state, val_iter, step, logger) -> None:
         tgt = jb["target"]
         gaussians = jax.tree.map(lambda x: x[-1:], gaussians)
         h, w = tgt["image"].shape[2:4]
-        dec = decode_splatting(
-            cfg.decoder, gaussians, tgt["extrinsics"], tgt["intrinsics"],
-            tgt["near"], tgt["far"], (h, w),
+        dec = jitted_decode(cfg.decoder, (h, w))(
+            gaussians, tgt["extrinsics"], tgt["intrinsics"],
+            tgt["near"], tgt["far"],
         )
         psnr = float(
             compute_psnr(
@@ -293,16 +343,18 @@ def _run_validation(cfg, state, val_iter, step, logger) -> None:
         print(f"validation failed: {e}")
 
 
-def _run_periodic_test_eval(cfg, state, step, logger, write: bool) -> None:
+def _run_periodic_test_eval(cfg, state, step, logger, write: bool,
+                            eval_apply) -> None:
     """Full-test eval with the current weights (model_wrapper.py:775-930):
     iterate the test split, render, and log test/psnr. Runs on every host
     (identical computation keeps SPMD programs in sync); only ``write``
-    hosts emit files/logs."""
+    hosts emit files/logs. ``eval_apply`` is the train loop's cached jitted
+    encoder — repeated evals reuse its compilation."""
+    import functools
+
     from .eval.runner import run_test
-    from .models import EncoderDepthSplat
 
     try:
-        encoder = EncoderDepthSplat(cfg.encoder)
         dataset = build_dataset(cfg, "test")
         loader = data_loader(
             dataset, DataLoaderCfg(batch_size=1, seed=cfg.data_loader.seed),
@@ -312,9 +364,7 @@ def _run_periodic_test_eval(cfg, state, step, logger, write: bool) -> None:
             {**b, **jax_batch(prepare_batch(cfg, b))}
             for b in itertools.islice(loader, cfg.trainer.test_eval_max_scenes)
         )
-        apply = jax.jit(
-            lambda context: encoder.apply(state.params, context, training=False)
-        )
+        apply = functools.partial(eval_apply, state.params)
         lpips_fn = _eval_lpips_fn(cfg, state)
         result = run_test(
             dataclasses.replace(
@@ -330,9 +380,11 @@ def _run_periodic_test_eval(cfg, state, step, logger, write: bool) -> None:
         if write:
             print(f"[test eval @ {step}] {result['scores']}", flush=True)
             if logger is not None and result["scores"]:
-                logger.log_scalars(
-                    step, {f"test/{k}": v for k, v in result["scores"].items()}
-                )
+                scalars = {f"test/{k}": v for k, v in result["scores"].items()}
+                # instance-budget overflow must be visible in eval scalars
+                # too (CUDA reference never drops)
+                scalars["test/num_dropped"] = float(result["num_dropped"])
+                logger.log_scalars(step, scalars)
     except Exception as e:  # periodic eval must never kill training
         print(f"periodic test eval failed: {e}")
 

@@ -40,7 +40,7 @@ _LANES = 512
 _BN = _SUB * _LANES  # columns per grid step
 
 
-def _rect_quadratic_min(ca, cb, cc, x0, x1, y0, y1):
+def rect_quadratic_min(ca, cb, cc, x0, x1, y0, y1):
     """Min of q(x, y) = ca*x^2 + 2*cb*x*y + cc*y^2 over the box
     [x0, x1] x [y0, y1], assuming the conic (ca, cb; cb, cc) is positive
     definite. Elementwise over any broadcastable shapes.
@@ -114,7 +114,7 @@ def _expand_kernel(
         ok = (j < area) & valid
         x0 = (tx * TILE).astype(jnp.float32) - xs
         y0 = (ty * TILE).astype(jnp.float32) - ys
-        qmin = _rect_quadratic_min(
+        qmin = rect_quadratic_min(
             ca, cb, cc, x0, x0 + float(TILE - 1), y0, y0 + float(TILE - 1)
         )
         # no bool-valued where: Mosaic rejects the i8->i1 select truncation

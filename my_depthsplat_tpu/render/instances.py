@@ -54,7 +54,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from .camera import ALPHA_MIN, TILE
-from .expand import _rect_quadratic_min, expand_keys
+from .expand import expand_keys, rect_quadratic_min
 from .projection import ScreenGaussians
 
 # Packed per-instance rows (f32): x, y, conic_a, conic_b, conic_c, opacity,
@@ -290,11 +290,13 @@ def build_tile_instances_batched(
         # int32 keys directly — ~4x faster than a two-operand sort downstream
         # AND no XLA int-op soup upstream. Slot ids of the live prefix come
         # back out of the keys elementwise (no gather).
+        # slice the kernel's padding lanes (N padded to 4096 multiples) back
+        # to the live slot count so sentinel keys don't inflate the sort
         key_parts = [
             expand_keys(
                 table_s[:6], cull6, None, 0, t1,
                 grid_x, n_tiles, n_tiles_total, slot_bits, _pr.INTERPRET,
-            ).reshape(-1)
+            )[:, :bg_count].reshape(-1)
         ]
         for lo, hi, cap_k in tiers:
             rect_b_u16, cull_b, big_slots, big_live, dropped_k = tier_compact(
@@ -304,7 +306,7 @@ def build_tile_instances_batched(
                 expand_keys(
                     rect_b_u16, cull_b, big_slots, lo, hi,
                     grid_x, n_tiles, n_tiles_total, slot_bits, _pr.INTERPRET,
-                ).reshape(-1)
+                )[:, :cap_k].reshape(-1)
             )
             num_dropped = num_dropped + dropped_k
         key = (
@@ -354,7 +356,7 @@ def build_tile_instances_batched(
             ok = (j < area_) & valid
             x0 = (tx * TILE).astype(jnp.float32) - xs_
             y0 = (ty * TILE).astype(jnp.float32) - ys_
-            qmin = _rect_quadratic_min(
+            qmin = rect_quadratic_min(
                 ca_, cb_, cc_,
                 x0, x0 + float(TILE - 1), y0, y0 + float(TILE - 1),
             )

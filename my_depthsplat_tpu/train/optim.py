@@ -49,6 +49,18 @@ def onecycle_cosine(
     return schedule
 
 
+def schedule_values(cfg: OptimizerCfg, step) -> dict:
+    """Current learning rate of both param groups, for logging (the
+    reference's LearningRateMonitor, src/main.py:107-110)."""
+    horizon = cfg.total_steps + 10  # matches make_optimizer's schedule
+    return {
+        "lr/new": onecycle_cosine(cfg.lr, horizon, cfg.warmup_pct)(step),
+        "lr/pretrained": onecycle_cosine(cfg.lr_monodepth, horizon, cfg.warmup_pct)(
+            step
+        ),
+    }
+
+
 def _is_pretrained(path: tuple) -> bool:
     return any("pretrained" in str(k) for k in path)
 

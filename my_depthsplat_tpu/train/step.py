@@ -20,7 +20,7 @@ from jax import Array
 from ..models import DecoderSplattingCfg, EncoderDepthSplat, decode_splatting
 from ..models.encoder import EncoderDepthSplatCfg
 from .losses import LossCfg, compute_losses
-from .optim import OptimizerCfg, make_optimizer
+from .optim import OptimizerCfg, make_optimizer, schedule_values
 
 
 @dataclass(frozen=True)
@@ -172,6 +172,7 @@ def make_train_step(
             step=state.step + 1, params=params, opt_state=opt_state
         )
         logs["grad_norm"] = optax.global_norm(grads)
+        logs.update(schedule_values(cfg.optimizer, state.step))
         return new_state, logs
 
     return init_fn, train_step
