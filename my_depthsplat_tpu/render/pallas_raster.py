@@ -66,17 +66,26 @@ _OUTC = 8  # r, g, b, t_final, n_contrib, pad, pad, pad
 INTERPRET = False
 
 
+def _shift_lanes(x, shift, fill):
+    """Shift lanes (axis 1) right by ``shift`` (left if negative), filling the
+    vacated lanes with ``fill``. Static slice + concat instead of
+    pltpu.roll+where: one fewer VPU op per scan step, and (unlike
+    tpu.dynamic_rotate) it lowers for 16-bit dtypes too."""
+    pad = jnp.full((x.shape[0], abs(shift)), fill, x.dtype)
+    if shift > 0:
+        return jnp.concatenate([pad, x[:, :-shift]], axis=1)
+    return jnp.concatenate([x[:, -shift:], pad], axis=1)
+
+
 def _lane_cumsum(x, inclusive=True, reverse=False):
     """Cumulative sum along axis 1 as a log2(n)-step doubling scan of exact
-    f32 VPU adds (lax.cumsum/cumprod do not lower in Pallas TPU kernels, and
+    VPU adds (lax.cumsum/cumprod do not lower in Pallas TPU kernels, and
     a triangular MXU matmul would run at reduced precision)."""
     n = x.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     acc = x
     shift = 1
     while shift < n:
-        rolled = pltpu.roll(acc, shift, axis=1)
-        acc = acc + jnp.where(lane >= shift, rolled, 0.0)
+        acc = acc + _shift_lanes(acc, shift, 0.0)
         shift *= 2
     if reverse:
         total = jnp.sum(x, axis=1, keepdims=True)
@@ -93,16 +102,10 @@ def _lane_cumprod(x, reverse=False):
     multiplies). Direct products replace the exp(cumsum(log(...))) round
     trip — one transcendental-free scan instead of log + scan + exp."""
     n = x.shape[1]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
     acc = x
     shift = 1
     while shift < n:
-        if reverse:
-            rolled = pltpu.roll(acc, n - shift, axis=1)  # rotate left by shift
-            acc = acc * jnp.where(lane < n - shift, rolled, 1.0)
-        else:
-            rolled = pltpu.roll(acc, shift, axis=1)
-            acc = acc * jnp.where(lane >= shift, rolled, 1.0)
+        acc = acc * _shift_lanes(acc, shift if not reverse else -shift, 1.0)
         shift *= 2
     return acc
 
@@ -116,26 +119,37 @@ def _pixel_coords(ty, tx, dtype=jnp.float32):
     return px, py
 
 
-def _chunk_alpha(data, px, py, lane_mask):
+def _chunk_alpha(data, px, py, lane_mask, cdt=jnp.float32):
     """Shared alpha evaluation for a chunk.
 
     data: (PACKED_ROWS, CHUNK) packed rows; px/py: (NPIX, 1);
     lane_mask: (1, CHUNK) bool. Returns (a, g_exp, dx, dy, gate).
+
+    cdt: compute dtype for the wide (NPIX, CHUNK) quadratic/exp math. The
+    pixel deltas dx/dy are always formed in f32 (positions up to ~1k pixels
+    would lose whole pixels in bf16) and only then cast down; bf16 runs the
+    VPU-bound math at ~2x rate as an opt-in training precision.
     """
     x = data[0:1, :]
     y = data[1:2, :]
-    ca = data[2:3, :]
-    cb = data[3:4, :]
-    cc = data[4:5, :]
+    ca = data[2:3, :].astype(cdt)
+    cb = data[3:4, :].astype(cdt)
+    cc = data[4:5, :].astype(cdt)
     op = data[5:6, :]
-    dx = px - x  # (NPIX, CHUNK)
-    dy = py - y
-    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    dx32 = px - x  # (NPIX, CHUNK) exact pixel deltas
+    dy32 = py - y
+    dx = dx32.astype(cdt)
+    dy = dy32.astype(cdt)
+    # only the pure-arithmetic quadratic runs at the compute dtype: Mosaic
+    # has no bf16 lowering for cmpf/rotate, and exp goes through f32 anyway
+    power = (
+        -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    ).astype(jnp.float32)
     g_exp = jnp.exp(power)
     alpha = jnp.minimum(ALPHA_MAX, op * g_exp)
     gate = (power <= 0.0) & (alpha >= ALPHA_MIN) & lane_mask
     a = jnp.where(gate, alpha, 0.0)
-    return a, g_exp, dx, dy, gate
+    return a, g_exp, dx32, dy32
 
 
 def _fwd_kernel(
@@ -146,6 +160,8 @@ def _fwd_kernel(
     out_ref,  # (1, 1, NPIX, OUTC) VMEM block
     data_vmem,  # (2, PACKED_ROWS, CHUNK) double-buffered scratch
     sem,  # (2,) DMA semaphores
+    *,
+    cdt=jnp.float32,
 ):
     bb = pl.program_id(0)
     ty = pl.program_id(1)
@@ -204,18 +220,20 @@ def _fwd_kernel(
 
         pos0 = c * CHUNK + lane - lead  # 0-based index within the run
         lane_mask = (pos0 >= 0) & (pos0 < count)
-        a, _, _, _, gate = _chunk_alpha(data, px, py, lane_mask)
+        a, _, _, _ = _chunk_alpha(data, px, py, lane_mask, cdt)
 
-        om = 1.0 - a  # >= 0.01 (a <= 0.99)
-        cp = _lane_cumprod(om)
-        p_full = p_raw * cp
-        # exclusive prefix: roll the inclusive product right one lane (lane 0
-        # continues from the previous chunk's carry). Replaces a per-element
-        # divide (p_full / om, ~8 VPU ops each) with a roll+select — and is
-        # exact instead of reconstructing through rounding.
-        p_prev = p_raw * jnp.where(lane == 0, 1.0, pltpu.roll(cp, 1, axis=1))
+        om = (1.0 - a).astype(cdt)  # >= 0.01 (a <= 0.99)
+        cp = _lane_cumprod(om)  # scan runs at the compute dtype's VPU rate
+        # exclusive prefix: shift the inclusive product right one lane (lane
+        # 0 continues from the previous chunk's carry). Replaces a per-element
+        # divide (p_full / om, ~8 VPU ops each) with a shift — and is exact
+        # instead of reconstructing through rounding.
+        cp_prev = _shift_lanes(cp, 1, 1.0)
+        # carries stay f32: the running product spans many chunks
+        p_full = p_raw * cp.astype(jnp.float32)
+        p_prev = p_raw * cp_prev.astype(jnp.float32)
         include = p_full >= TRANSMITTANCE_EPS
-        weight = jnp.where(include, a * p_prev, 0.0)  # (NPIX, CHUNK)
+        weight = jnp.where(include, a * p_prev, 0.0)
 
         rgb = rgb + jnp.concatenate(
             [
@@ -225,7 +243,9 @@ def _fwd_kernel(
             axis=1,
         )  # (NPIX, 3) — exact VPU reductions (thin matmuls lose precision)
 
-        contributes = gate & include
+        # weight > 0 <=> gated AND included (a >= ALPHA_MIN wherever gated,
+        # and the exclusive prefix product is strictly positive)
+        contributes = weight > 0.0
         pos = (pos0 + 1).astype(jnp.float32)  # 1-based within the run
         ncon = jnp.maximum(
             ncon, jnp.max(jnp.where(contributes, pos, 0.0), axis=1, keepdims=True)
@@ -277,6 +297,8 @@ def _bwd_kernel(
     sem_in,  # (2,)
     sem_out,  # (2,)
     sem_prev,
+    *,
+    cdt=jnp.float32,
 ):
     bb = pl.program_id(0)
     ty = pl.program_id(1)
@@ -365,8 +387,8 @@ def _bwd_kernel(
 
         pos0 = c * CHUNK + lane - lead  # 0-based index within the run
         lane_mask = (pos0 >= 0) & (pos0 < count)
-        a, g_exp, dx, dy, gate = _chunk_alpha(data, px, py, lane_mask)
-        mask = gate & (pos0.astype(jnp.float32) < ncon)
+        a, g_exp, dx, dy = _chunk_alpha(data, px, py, lane_mask, cdt)
+        mask = (a > 0.0) & (pos0.astype(jnp.float32) < ncon)
         a = jnp.where(mask, a, 0.0)
 
         one_minus = jnp.maximum(1.0 - a, 1e-6)
@@ -374,11 +396,11 @@ def _bwd_kernel(
         # prefix product from the chunk-start transmittance: one per-pixel
         # divide (chunk total) instead of a full elementwise divide by the
         # suffix product (exactly the same quantity, fewer VPU ops).
-        cp = _lane_cumprod(one_minus)  # inclusive prefix
+        # The scan runs at the compute dtype's VPU rate; the carries and the
+        # gradient assembly below stay f32.
+        cp = _lane_cumprod(one_minus.astype(cdt)).astype(jnp.float32)
         ta_before = ta / cp[:, -1:]
-        t_i = ta_before * jnp.where(
-            lane == 0, 1.0, pltpu.roll(cp, 1, axis=1)
-        )  # (NPIX, CHUNK)
+        t_i = ta_before * _shift_lanes(cp, 1, 1.0)  # (NPIX, CHUNK)
         w = a * t_i
 
         gc = (
@@ -459,7 +481,7 @@ def _tile_spec():
     )
 
 
-def _composite_fwd_impl(packed, starts, counts, background, grid_hw):
+def _composite_fwd_impl(packed, starts, counts, background, grid_hw, cdt_name):
     """packed (ROWS, L_total); starts/counts (B*T,) with global offsets;
     background (B, 3); grid_hw = (B, gy, gx)."""
     b, gy, gx = grid_hw
@@ -474,14 +496,16 @@ def _composite_fwd_impl(packed, starts, counts, background, grid_hw):
         ],
     )
     return pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, cdt=jnp.dtype(cdt_name).type),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, gy, gx, _NPIX, _OUTC), jnp.float32),
         interpret=INTERPRET,
     )(starts.reshape(-1), counts.reshape(-1), background.reshape(-1), packed)
 
 
-def _composite_bwd_impl(packed, starts, counts, background, grid_hw, fwd_out, cot):
+def _composite_bwd_impl(
+    packed, starts, counts, background, grid_hw, fwd_out, cot, cdt_name
+):
     b, gy, gx = grid_hw
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -504,7 +528,7 @@ def _composite_bwd_impl(packed, starts, counts, background, grid_hw, fwd_out, co
     )
     zeros = jnp.zeros(packed.shape, jnp.float32)
     return pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, cdt=jnp.dtype(cdt_name).type),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -514,16 +538,26 @@ def _composite_bwd_impl(packed, starts, counts, background, grid_hw, fwd_out, co
       packed, fwd_out, cot, zeros)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def composite_tiles(packed, starts, counts, background, grid_hw):
-    """Raw tile-major output (B, gy, gx, NPIX, OUTC); grid_hw = (B, gy, gx)."""
-    return _composite_fwd_impl(packed, starts, counts, background, grid_hw)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def composite_tiles(
+    packed, starts, counts, background, grid_hw, compute_dtype="float32"
+):
+    """Raw tile-major output (B, gy, gx, NPIX, OUTC); grid_hw = (B, gy, gx).
+
+    compute_dtype: "float32" (exact CUDA-gate parity) or "bfloat16" (the wide
+    per-chunk quadratic/exp math and prefix scans run in bf16 with f32
+    transmittance carries and f32 gradient assembly — an opt-in training
+    precision, ~1e-2 image tolerance)."""
+    return _composite_fwd_impl(
+        packed, starts, counts, background, grid_hw, compute_dtype
+    )
 
 
-def _composite_bwd_real(grid_hw, res, cot):
+def _composite_bwd_real(grid_hw, compute_dtype, res, cot):
     packed, starts, counts, background, fwd_out = res
     d_packed = _composite_bwd_impl(
-        packed, starts, counts, background, grid_hw, fwd_out, cot
+        packed, starts, counts, background, grid_hw, fwd_out, cot,
+        compute_dtype,
     )
     g_img = cot[..., 0:3]
     t_final = fwd_out[..., 3]
@@ -532,8 +566,11 @@ def _composite_bwd_real(grid_hw, res, cot):
     return d_packed, zero_i, zero_i, d_bg
 
 
-def _composite_fwd_real(packed, starts, counts, background, grid_hw):
-    out = _composite_fwd_impl(packed, starts, counts, background, grid_hw)
+def _composite_fwd_real(packed, starts, counts, background, grid_hw,
+                        compute_dtype):
+    out = _composite_fwd_impl(
+        packed, starts, counts, background, grid_hw, compute_dtype
+    )
     return out, (packed, starts, counts, background, out)
 
 
@@ -557,6 +594,7 @@ def render_pallas(
     instance_budget: int | None = None,
     big_tile_cap: int | None = None,
     return_aux: bool = False,
+    composite_dtype: str = "float32",
 ) -> Array:
     """Batched Pallas render, drop-in for render_oracle.
 
@@ -633,7 +671,8 @@ def render_pallas(
         )
     gy, gx = (h + TILE - 1) // TILE, (w + TILE - 1) // TILE
     raw = composite_tiles(
-        inst.packed, inst.starts, inst.counts, background_color, (b, gy, gx)
+        inst.packed, inst.starts, inst.counts, background_color, (b, gy, gx),
+        composite_dtype,
     )
     image = raw[..., 0:3].reshape(b, gy, gx, TILE, TILE, 3)
     image = image.transpose(0, 1, 3, 2, 4, 5).reshape(b, gy * TILE, gx * TILE, 3)
