@@ -48,6 +48,9 @@ class TestCfg:
     save_video: bool = False  # interpolated-trajectory video per scene
     stabilize_camera: bool = False  # smooth the video path (dynibar-style)
     video_frames: int = 60
+    # "interpolation" (context A -> B) | "exaggerated" (the reference's
+    # extrapolated wobble trajectory, model_wrapper.py:985-1029; 2-view only)
+    video_trajectory: str = "interpolation"
     # Fail the run if the Pallas instance budget dropped any tile instance
     # (the CUDA reference never drops, so published-number eval configs
     # should assert parity with that behavior).
@@ -239,6 +242,7 @@ def _render_trajectory_video(cfg: TestCfg, decoder_cfg, gaussians, batch,
     """Interpolated context->context trajectory video, optionally smoothed
     (model_wrapper.py:932-1102 + stablize_camera hook :436-453)."""
     from ..utils.camera_path import (
+        generate_exaggerated_interpolation,
         interpolate_extrinsics,
         interpolate_intrinsics,
         render_stabilization_path,
@@ -248,6 +252,11 @@ def _render_trajectory_video(cfg: TestCfg, decoder_cfg, gaussians, batch,
     extr = np.asarray(batch["context"]["extrinsics"])[0]
     intr = np.asarray(batch["context"]["intrinsics"])[0]
     t = np.linspace(0, 1, cfg.video_frames).astype(np.float32)
+    if cfg.video_trajectory == "exaggerated" and extr.shape[0] == 2:
+        poses, intrs = generate_exaggerated_interpolation(extr, intr, t)
+        return _render_video_frames(
+            cfg, decoder_cfg, gaussians, batch, scene, poses, intrs
+        )
     poses = interpolate_extrinsics(extr[0], extr[-1], t)
     if cfg.stabilize_camera:
         smoothed = render_stabilization_path(poses, k_size=min(45, len(poses) | 1))
@@ -255,15 +264,22 @@ def _render_trajectory_video(cfg: TestCfg, decoder_cfg, gaussians, batch,
         poses4[:, :3, :] = smoothed
         poses = poses4
     intrs = interpolate_intrinsics(intr[0], intr[-1], t)
+    _render_video_frames(cfg, decoder_cfg, gaussians, batch, scene, poses, intrs)
+
+
+def _render_video_frames(cfg, decoder_cfg, gaussians, batch, scene,
+                         poses, intrs) -> None:
+    from ..utils.image_io import save_video
 
     h, w = batch["target"]["image"].shape[2:4]
     near = float(batch["context"]["near"][0, 0])
     far = float(batch["context"]["far"][0, 0])
     frames = []
+    n = len(poses)
     chunk = cfg.render_chunk_size or 10
     decode = jitted_decode(decoder_cfg, (h, w))
-    for lo in range(0, len(t), chunk):
-        hi = min(lo + chunk, len(t))
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
         dec = decode(
             gaussians,
             jnp.asarray(poses[None, lo:hi]),

@@ -213,11 +213,13 @@ def train(cfg: RootCfg) -> None:
     # built once so repeated evals hit jax.jit's cache instead of recompiling
     # the encoder every interval.
     from .models import EncoderDepthSplat
+    from .models.precision import apply_with_precision
 
     _eval_encoder = EncoderDepthSplat(cfg.encoder)
     eval_apply = jax.jit(
-        lambda params, context: _eval_encoder.apply(
-            params, context, training=False
+        lambda params, context: apply_with_precision(
+            _eval_encoder.apply, cfg.encoder.compute_dtype, params, context,
+            training=False,
         )
     )
     log_every = cfg.trainer.print_log_every_n_steps
@@ -424,8 +426,13 @@ def test(cfg: RootCfg) -> None:
         state = restore_checkpoint(Path(cfg.checkpointing.load), state)
     params = state.params
 
+    from .models.precision import apply_with_precision
+
     apply = jax.jit(
-        lambda context: encoder.apply(params, context, training=False)
+        lambda context: apply_with_precision(
+            encoder.apply, cfg.encoder.compute_dtype, params, context,
+            training=False,
+        )
     )
 
     batches = (

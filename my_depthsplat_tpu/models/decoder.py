@@ -58,6 +58,19 @@ def decode_splatting(
     depth_mode: DepthRenderingMode | None = None,
     render_sharding=None,  # NamedSharding over the flattened (b v) render axis
 ) -> DecoderOutput:
+    from ..utils.shapes import assert_shapes, check_gaussians
+
+    dims = check_gaussians(gaussians)
+    assert_shapes(
+        {
+            "target.extrinsics": (extrinsics, ("B", "V", 4, 4)),
+            "target.intrinsics": (intrinsics, ("B", "V", 3, 3)),
+            "target.near": (near, ("B", "V")),
+            "target.far": (far, ("B", "V")),
+        },
+        # gaussians may be stacked for intermediate supervision: B' = k*B
+        {} if gaussians.means.shape[0] != extrinsics.shape[0] else dims,
+    )
     b, v = extrinsics.shape[:2]
 
     def bv(x: Array) -> Array:

@@ -65,6 +65,21 @@ class EncoderDepthSplatCfg:
     spmd_view_axis: str | None = None  # shard context views (ring attention)
     # plane-sweep gather precision: "float32" (reference-exact) | "bfloat16"
     sweep_gather_dtype: str = "float32"
+    # plane-sweep evaluation: "gather" (reference-exact per-tap gathers) |
+    # "window" (banded refinement scales use per-pixel window correlations —
+    # exact while taps fit sweep_window, overflow counted; see
+    # models/unimatch.py sweep_mode)
+    sweep_mode: str = "gather"
+    sweep_window: int = 6
+    sweep_window_groups_scale0: int = 0
+    # Network compute precision: "float32" (reference-exact) | "bfloat16".
+    # bf16 casts params + image-like inputs (camera fields, near/far, and
+    # LiDAR depth prompts stay f32; outputs are cast back to f32 before the
+    # renderer) — MXU convs/matmuls run ~2x and byte-bound feature traffic
+    # halves. Applied by the drivers through
+    # models.precision.apply_with_precision; parity tolerance is pinned by
+    # tests/test_models.py::test_encoder_bf16_compute_parity.
+    compute_dtype: str = "float32"
     shim_patch_size: int = 4
     downscale_factor: int = 4
 
@@ -99,6 +114,9 @@ class EncoderDepthSplat(nn.Module):
         intermediate supervision is active.
         """
         cfg = self.cfg
+        from ..utils.shapes import check_views
+
+        check_views(context, "context")  # fail loudly on (B,V)-swaps etc.
         images = context["image"]
         b, v, h, w, _ = images.shape
 
@@ -127,6 +145,9 @@ class EncoderDepthSplat(nn.Module):
                 spmd_depth_axis=cfg.spmd_depth_axis,
                 spmd_view_axis=cfg.spmd_view_axis,
                 sweep_gather_dtype=cfg.sweep_gather_dtype,
+                sweep_mode=cfg.sweep_mode,
+                sweep_window=cfg.sweep_window,
+                sweep_window_groups_scale0=cfg.sweep_window_groups_scale0,
                 name="depth_predictor",
             )(
                 images,
@@ -224,6 +245,9 @@ class EncoderDepthSplat(nn.Module):
             out["depths"] = (
                 jnp.concatenate(depth_preds, axis=0) if supervise_all else depth
             )
+        if "sweep_window_overflow" in results:
+            # taps the window sweep dropped (should be 0; see sweep_mode)
+            out["sweep_window_overflow"] = results["sweep_window_overflow"]
         return out
 
 

@@ -19,7 +19,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-_CAMERA_KEYS = ("extrinsics", "intrinsics", "near", "far")
+_CAMERA_KEYS = ("extrinsics", "intrinsics", "near", "far", "depth")
 
 
 def cast_network_inputs(params: Any, context: dict, dtype) -> tuple[Any, dict]:
@@ -60,3 +60,16 @@ def resolve_dtype(name: str | None):
     if name in ("bfloat16", "bf16"):
         return jnp.bfloat16
     raise ValueError(f"Unknown compute dtype {name!r}")
+
+
+def apply_with_precision(apply_fn, compute_dtype: str | None, params, context,
+                         **kwargs):
+    """Run an encoder apply under the configured precision policy
+    (encoder.compute_dtype): bf16 params + image-like inputs, f32 camera
+    fields and LiDAR depth prompts, outputs cast back to f32. float32 is a
+    strict no-op passthrough."""
+    dtype = resolve_dtype(compute_dtype)
+    if dtype == jnp.float32:
+        return apply_fn(params, context, **kwargs)
+    params, context = cast_network_inputs(params, context, dtype)
+    return cast_outputs_f32(apply_fn(params, context, **kwargs))

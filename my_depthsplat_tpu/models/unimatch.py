@@ -24,6 +24,7 @@ from jax import Array
 
 from ..ops import (
     plane_sweep_correlation,
+    plane_sweep_correlation_window,
     resize_bilinear,
     warp_with_pose_depth_candidates,
 )
@@ -105,6 +106,27 @@ class MultiViewUniMatch(nn.Module):
     # of warped features + a 24 GB gather-index tensor and OOM a 16 GB
     # chip). Ignored when spmd_depth_axis shards D across chips.
     plane_sweep_max_bytes: int = 2 * 1024**3
+    # When the flat (C, BVM*hw) gather table exceeds this, the sweep scans
+    # over (view, source) pairs so each step's table is ONE pair's source
+    # features. Measured on v5e: gathers from a >16 MB table run ~11 ns/index
+    # vs ~2.5-4 ns when the table is cache-resident — a 3-4x sweep speedup at
+    # 12-view 512x960, bit-identical math (each pair's gather/dot is
+    # independent).
+    sweep_table_cache_bytes: int = 8 * 1024**2
+    # "window" evaluates the refinement scales' (scale_idx > 0) banded
+    # candidates from per-pixel window correlations
+    # (ops.plane_sweep_correlation_window): window^2 feature gathers per
+    # pixel instead of 4*D, exact while the band's bilinear taps fit the
+    # window (out-of-window taps contribute zero and are counted in
+    # results["sweep_window_overflow"]). "gather" (default) is the
+    # reference-exact per-tap path at any band width.
+    sweep_mode: str = "gather"
+    sweep_window: int = 6
+    # In window mode, also evaluate scale 0's uniform candidates from window
+    # correlations by splitting D into this many contiguous groups (each
+    # group's candidates span ~1/groups of the full disparity range, so a
+    # small window covers them). 0 keeps scale 0 on the gather path.
+    sweep_window_groups_scale0: int = 0
     # "bfloat16" rounds the features feeding the plane-sweep gather + dot to
     # bf16 (f32 weights/accumulation): the gather is byte-bound on TPU, so
     # this halves the sweep's dominant cost at ~1e-3 relative error on the
@@ -295,6 +317,72 @@ class MultiViewUniMatch(nn.Module):
                 )
                 corr = jax.lax.with_sharding_constraint(
                     corr, _P(None, self.spmd_depth_axis)
+                )
+            elif self.sweep_mode == "window" and (
+                scale_idx > 0
+                or (
+                    self.sweep_window_groups_scale0 > 0
+                    and num_d % self.sweep_window_groups_scale0 == 0
+                )
+            ):
+                # Window-correlation sweep, scanned per pair so gather tables
+                # stay cache-resident. Scale 0's uniform candidates are split
+                # into contiguous groups so each group's band is narrow
+                # enough for the window; refinement scales are banded by
+                # construction (one group).
+                groups = (
+                    self.sweep_window_groups_scale0 if scale_idx == 0 else 1
+                )
+                dg = num_d // groups
+
+                def pair_step_w(ovf, xs):
+                    s, r, k_, p, cd = xs
+
+                    def grp(ovf_g, cd_g):
+                        cost_1, ovf_1 = plane_sweep_correlation_window(
+                            s[None], r[None], k_[None], p[None],
+                            1.0 / cd_g[None],
+                            window=self.sweep_window,
+                            gather_dtype=gdtype,
+                        )
+                        return ovf_g + ovf_1, cost_1[0]
+
+                    if groups == 1:
+                        return grp(ovf, cd)
+                    ovf_p, cost_g = jax.lax.scan(
+                        grp, ovf, cd.reshape(groups, dg, hs, ws)
+                    )
+                    return ovf_p, cost_g.reshape(num_d, hs, ws)
+
+                ovf0 = jnp.zeros((), jnp.int32)
+                ovf, corr = jax.lax.scan(
+                    pair_step_w,
+                    ovf0,
+                    (src_flat, feats_rep, intr_flat, pose_flat, cand_flat),
+                )
+                results["sweep_window_overflow"] = (
+                    results.get("sweep_window_overflow", 0) + ovf
+                )
+            elif (
+                bvm > 1
+                and itemsize * c * bvm * hs * ws > self.sweep_table_cache_bytes
+                and itemsize * num_d * hs * ws * c <= self.plane_sweep_max_bytes
+            ):
+                # Pair scan: one (view, source) pair per step, so the gather
+                # table is a single pair's (C, hw) source features — cache-
+                # resident gathers run 3-4x faster than one flat table over
+                # all pairs. Bit-identical math (pairs are independent).
+                def pair_step(_, xs):
+                    s, r, k, p, cd = xs
+                    return None, sweep_correlation_flat(
+                        s[None], r[None], k[None], p[None], cd[None],
+                        gather_dtype=gdtype,
+                    )[0]
+
+                _, corr = jax.lax.scan(
+                    pair_step,
+                    None,
+                    (src_flat, feats_rep, intr_flat, pose_flat, cand_flat),
                 )
             elif sweep_bytes > self.plane_sweep_max_bytes:
                 n_chunks = 1

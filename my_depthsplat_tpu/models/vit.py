@@ -164,5 +164,9 @@ IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225])
 
 
 def normalize_imagenet(images: Array) -> Array:
-    """ImageNet normalization (mv_unimatch.py:206-214, promptda.py:107)."""
-    return (images - IMAGENET_MEAN) / IMAGENET_STD
+    """ImageNet normalization (mv_unimatch.py:206-214, promptda.py:107).
+    Dtype-preserving: the constants follow the image dtype so bf16 network
+    compute (encoder.compute_dtype) isn't promoted back to f32 here."""
+    return (images - IMAGENET_MEAN.astype(images.dtype)) / IMAGENET_STD.astype(
+        images.dtype
+    )

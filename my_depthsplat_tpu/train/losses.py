@@ -77,9 +77,21 @@ def compute_losses(
     lpips_params=None,
 ) -> tuple[Array, dict[str, Array]]:
     """Final + gamma^(k)-weighted intermediate losses over the stacked batch."""
+    from ..utils.shapes import assert_shapes
+
+    assert_shapes(
+        {
+            "loss.color": (color, (None, "V", "H", "W", 3)),
+            "loss.target": (target, ("B", "V", "H", "W", 3)),
+        }
+    )
     b = target.shape[0]
     b_eff = color.shape[0]
     num = b_eff // b
+    if b_eff % b != 0:
+        raise ValueError(
+            f"prediction batch {b_eff} is not a multiple of target batch {b}"
+        )
     logs: dict[str, Array] = {}
 
     def one(pred_slice: Array) -> tuple[Array, Array]:

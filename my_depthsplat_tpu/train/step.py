@@ -19,6 +19,7 @@ from jax import Array
 
 from ..models import DecoderSplattingCfg, EncoderDepthSplat, decode_splatting
 from ..models.encoder import EncoderDepthSplatCfg
+from ..models.precision import apply_with_precision
 from .losses import LossCfg, compute_losses
 from .optim import OptimizerCfg, make_optimizer, schedule_values
 
@@ -114,7 +115,13 @@ def make_train_step(
     def loss_fn(params, state: TrainState, batch):
         target = batch["target"]
         h, w = target["image"].shape[2:4]
-        out = encoder.apply(params, batch["context"], training=True)
+        # precision policy (encoder.compute_dtype): bf16 casts happen inside
+        # the grad trace, so mixed-precision training gets f32 master params
+        # with bf16 network compute for free
+        out = apply_with_precision(
+            encoder.apply, cfg.encoder.compute_dtype, params,
+            batch["context"], training=True,
+        )
         gaussians = out["gaussians"]
 
         if gaussians is None:

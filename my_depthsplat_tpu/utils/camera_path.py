@@ -8,7 +8,7 @@ src/misc/stablize_camera.py:9-51 (dynibar-style gaussian smoothing).
 from __future__ import annotations
 
 import numpy as np
-from scipy.spatial.transform import Rotation, Slerp
+from scipy.spatial.transform import Rotation
 
 
 def generate_wobble_transformation(
@@ -41,16 +41,42 @@ def interpolate_intrinsics(initial, final, t) -> np.ndarray:
 
 
 def interpolate_extrinsics(initial, final, t) -> np.ndarray:
-    """Slerp rotation + lerp translation between two c2w poses -> (T, 4, 4)."""
+    """Slerp rotation + lerp translation between two c2w poses -> (T, 4, 4).
+
+    t may lie outside [0, 1]: the rotation extrapolates along the relative
+    axis-angle (matching the reference's interpolate_pose semantics,
+    interpolation.py — required by the exaggerated-interpolation video
+    trajectory which evaluates t in [-2, 3])."""
     t = np.asarray(t, np.float32)
-    rots = Rotation.from_matrix(np.stack([initial[:3, :3], final[:3, :3]]))
-    slerp = Slerp([0.0, 1.0], rots)
-    r = slerp(np.clip(t, 0, 1)).as_matrix()
+    rel = Rotation.from_matrix(final[:3, :3] @ initial[:3, :3].T).as_rotvec()
+    r = (
+        Rotation.from_rotvec(t[:, None] * rel[None]).as_matrix()
+        @ initial[:3, :3][None]
+    )
     trans = initial[:3, 3][None] + (final[:3, 3] - initial[:3, 3])[None] * t[:, None]
     out = np.broadcast_to(np.eye(4, dtype=np.float32), (len(t), 4, 4)).copy()
     out[:, :3, :3] = r
     out[:, :3, 3] = trans
     return out
+
+
+def generate_exaggerated_interpolation(
+    extrinsics: np.ndarray,  # (V>=2, 4, 4) context c2w poses
+    intrinsics: np.ndarray,  # (V>=2, 3, 3)
+    t: np.ndarray,  # (T,) in [0, 1]
+) -> tuple[np.ndarray, np.ndarray]:
+    """The reference's exaggerated interpolation trajectory
+    (model_wrapper.py:985-1029): extrapolate the context pair over t*5-2
+    (sweeping 2 spans beyond each endpoint) composed with a 5-rotation
+    wobble of radius half the baseline. Returns ((T, 4, 4), (T, 3, 3))."""
+    t = np.asarray(t, np.float32)
+    delta = float(np.linalg.norm(extrinsics[0, :3, 3] - extrinsics[1, :3, 3]))
+    tf = generate_wobble_transformation(
+        np.asarray(delta * 0.5, np.float32), t, 5, scale_radius_with_t=False
+    )  # (T, 4, 4)
+    poses = interpolate_extrinsics(extrinsics[0], extrinsics[1], t * 5.0 - 2.0)
+    intr = interpolate_intrinsics(intrinsics[0], intrinsics[1], t * 5.0 - 2.0)
+    return poses @ tf, intr
 
 
 def generate_spin(

@@ -277,3 +277,132 @@ def test_plane_sweep_depth_chunking_exact():
         np.asarray(run(2 * 1024**3)), np.asarray(run(1)),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_plane_sweep_pair_scan_exact():
+    """The per-pair sweep scan (cache-resident gather tables) matches the
+    flat all-pairs sweep — pairs are independent, so the math is identical."""
+    from my_depthsplat_tpu.models.unimatch import MultiViewUniMatch
+
+    rng = np.random.default_rng(1)
+    b, v, h, w = 1, 3, 32, 64
+    imgs = jnp.asarray(rng.uniform(0, 1, (b, v, h, w, 3)).astype(np.float32))
+    intr = np.broadcast_to(
+        np.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]], np.float32),
+        (b, v, 3, 3),
+    ).copy()
+    extr = np.broadcast_to(np.eye(4, dtype=np.float32), (b, v, 4, 4)).copy()
+    for i in range(v):
+        extr[:, i, 0, 3] = 0.1 * i
+    mind = jnp.full((b, v), 1 / 50.0)
+    maxd = jnp.full((b, v), 1 / 0.5)
+
+    def run(cache_bytes):
+        m = MultiViewUniMatch(
+            num_scales=1,
+            upsample_factor=4,
+            lowest_feature_resolution=4,
+            num_depth_candidates=32,
+            vit_type="vits",
+            unet_channels=32,
+            sweep_table_cache_bytes=cache_bytes,
+        )
+        params = m.init(
+            jax.random.key(0), imgs, jnp.asarray(intr), jnp.asarray(extr),
+            mind, maxd,
+        )
+        out = m.apply(
+            params, imgs, jnp.asarray(intr), jnp.asarray(extr), mind, maxd
+        )
+        return out["depth_preds"][-1]
+
+    np.testing.assert_allclose(
+        np.asarray(run(8 * 1024**2)),  # flat path (table under the cap)
+        np.asarray(run(1)),  # pair-scan path (cap of 1 byte forces it)
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+@pytest.mark.slow
+def test_encoder_bf16_compute_parity():
+    """encoder.compute_dtype=bfloat16 (the drivers' precision policy) stays
+    within tolerance of the f32 reference path: depth within ~2% relative,
+    gaussian means finite and close. Pins VERDICT weak #5's requirement that
+    the precision lever is a config switch with a tested tolerance."""
+    from my_depthsplat_tpu.models.precision import apply_with_precision
+
+    cfg = EncoderDepthSplatCfg(
+        depth_branch="unimatch",
+        gaussian_adapter=GaussianAdapterCfg(1e-10, 3.0, 2),
+        num_scales=1,
+        upsample_factor=4,
+        lowest_feature_resolution=4,
+        num_depth_candidates=32,
+        costvolume_unet_feat_dim=32,
+        monodepth_vit_type="vits",
+    )
+    ctx = make_context(b=1, v=2, h=32, w=32)
+    model = EncoderDepthSplat(cfg)
+    params = model.init(jax.random.key(0), ctx, training=False)
+    ref = model.apply(params, ctx, training=False)
+    out = apply_with_precision(model.apply, "bfloat16", params, ctx,
+                               training=False)
+
+    d_ref = np.asarray(ref["depths"])
+    d_bf = np.asarray(out["depths"])
+    assert d_bf.dtype == np.float32  # outputs cast back to f32
+    rel = np.abs(d_bf - d_ref) / (np.abs(d_ref) + 1e-6)
+    assert float(np.median(rel)) < 0.02, float(np.median(rel))
+    m_ref = np.asarray(ref["gaussians"].means)
+    m_bf = np.asarray(out["gaussians"].means)
+    assert np.isfinite(m_bf).all()
+    scale = np.abs(m_ref).max()
+    assert float(np.median(np.abs(m_bf - m_ref))) / scale < 0.02
+
+
+def test_plane_sweep_window_mode_parity():
+    """sweep_mode="window" (per-pixel window correlations on refinement
+    scales) matches the reference-exact tap-gather sweep when the band's
+    taps fit the window, and reports zero overflow."""
+    from my_depthsplat_tpu.models.unimatch import MultiViewUniMatch
+
+    rng = np.random.default_rng(2)
+    b, v, h, w = 1, 2, 32, 64
+    imgs = jnp.asarray(rng.uniform(0, 1, (b, v, h, w, 3)).astype(np.float32))
+    intr = np.broadcast_to(
+        np.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]], np.float32),
+        (b, v, 3, 3),
+    ).copy()
+    extr = np.broadcast_to(np.eye(4, dtype=np.float32), (b, v, 4, 4)).copy()
+    for i in range(v):
+        extr[:, i, 0, 3] = 0.1 * i
+    mind = jnp.full((b, v), 1 / 50.0)
+    maxd = jnp.full((b, v), 1 / 2.0)
+
+    def run(mode):
+        m = MultiViewUniMatch(
+            num_scales=2,
+            upsample_factor=2,
+            lowest_feature_resolution=4,
+            num_depth_candidates=32,
+            vit_type="vits",
+            unet_channels=32,
+            sweep_mode=mode,
+            sweep_window=8,
+        )
+        params = m.init(
+            jax.random.key(0), imgs, jnp.asarray(intr), jnp.asarray(extr),
+            mind, maxd,
+        )
+        return m.apply(
+            params, imgs, jnp.asarray(intr), jnp.asarray(extr), mind, maxd
+        )
+
+    ref = run("gather")
+    win = run("window")
+    assert int(win["sweep_window_overflow"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(win["depth_preds"][-1]),
+        np.asarray(ref["depth_preds"][-1]),
+        rtol=1e-4, atol=1e-5,
+    )

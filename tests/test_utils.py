@@ -135,3 +135,41 @@ def test_local_logger(tmp_path):
     lg.close()
     assert (tmp_path / "metrics.jsonl").exists()
     assert list((tmp_path / "images").glob("*.png"))
+
+
+def test_exaggerated_interpolation_trajectory():
+    """Exaggerated-interp video path (reference model_wrapper.py:985-1029):
+    extrapolating pose interpolation + 5-rotation wobble of half-baseline
+    radius; endpoints at t=0.4/0.6 reproduce the context cameras' rotations
+    (t*5-2 hits 0 and 1 there)."""
+    import numpy as np
+
+    from my_depthsplat_tpu.utils.camera_path import (
+        generate_exaggerated_interpolation,
+        interpolate_extrinsics,
+    )
+    from scipy.spatial.transform import Rotation
+
+    e0 = np.eye(4, dtype=np.float32)
+    e1 = np.eye(4, dtype=np.float32)
+    e1[:3, :3] = Rotation.from_euler("y", 10, degrees=True).as_matrix()
+    e1[0, 3] = 0.5
+    intr = np.broadcast_to(np.eye(3, dtype=np.float32), (2, 3, 3))
+    t = np.linspace(0, 1, 11).astype(np.float32)
+    poses, intrs = generate_exaggerated_interpolation(
+        np.stack([e0, e1]), intr, t
+    )
+    assert poses.shape == (11, 4, 4) and intrs.shape == (11, 3, 3)
+    # t=0.4 -> interp parameter 0 -> rotation == e0's (wobble is translation-only)
+    np.testing.assert_allclose(poses[4, :3, :3], e0[:3, :3], atol=1e-5)
+    # t=0.6 -> parameter 1 -> e1's rotation
+    np.testing.assert_allclose(poses[6, :3, :3], e1[:3, :3], atol=1e-5)
+    # extrapolation: t=0 -> parameter -2 -> rotation continues past e0
+    rel = Rotation.from_matrix(poses[0, :3, :3]).as_euler("xyz", degrees=True)
+    assert rel[1] < -15  # -2 x 10 degrees about y
+    # interpolate_extrinsics itself matches slerp inside [0, 1]
+    mid = interpolate_extrinsics(e0, e1, np.asarray([0.5], np.float32))[0]
+    np.testing.assert_allclose(
+        Rotation.from_matrix(mid[:3, :3]).as_euler("xyz", degrees=True)[1],
+        5.0, atol=1e-4,
+    )
