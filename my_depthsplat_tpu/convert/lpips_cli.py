@@ -43,7 +43,8 @@ def main() -> None:
     from ..train.lpips_io import save_lpips_params
     from .torch_weights import convert_lpips
 
-    sd = torch.load(args.src, map_location="cpu", weights_only=False)
+    # LPIPS state dicts are plain tensors; never execute checkpoint pickles.
+    sd = torch.load(args.src, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     params = convert_lpips(sd)

@@ -59,6 +59,10 @@ class TestCfg:
     # model_wrapper.py:431,503-560): skip the decoder entirely, dump depth
     # visualizations + .npy per context view, no color scores.
     forward_depth_only: bool = False
+    # Window-mode plane sweep (encoder.sweep_mode="window") drops taps that
+    # fall outside encoder.sweep_window and counts them; a nonzero count means
+    # the cost volumes are silently wrong, so eval fails on it by default.
+    allow_window_overflow: bool = False
 
 
 def run_test(
@@ -86,6 +90,18 @@ def run_test(
                 else out["gaussians"].means
             )
         gaussians = out["gaussians"]
+
+        ovf = out.get("sweep_window_overflow")
+        if ovf is not None and int(ovf) != 0:
+            msg = (
+                f"scene {scene}: window-mode plane sweep dropped {int(ovf)} "
+                "taps (encoder.sweep_window too narrow for this geometry) — "
+                "cost volumes are degraded; widen sweep_window or raise "
+                "sweep_window_groups_scale0"
+            )
+            if not cfg.allow_window_overflow:
+                raise AssertionError(msg)
+            print(f"WARNING: {msg}")
 
         if cfg.forward_depth_only or gaussians is None:
             # depth-only early return (model_wrapper.py:503-560): dump depth

@@ -423,7 +423,11 @@ def test(cfg: RootCfg) -> None:
     state = init_fn(jax.random.key(0), jax_batch(prepare_batch(cfg, first)))
     state = apply_pretrained_slots(cfg, state)
     if cfg.checkpointing.load:
-        state = restore_checkpoint(Path(cfg.checkpointing.load), state)
+        from .train.checkpoints import resolve_checkpoint_uri
+
+        state = restore_checkpoint(
+            resolve_checkpoint_uri(cfg.checkpointing.load), state
+        )
     params = state.params
 
     from .models.precision import apply_with_precision

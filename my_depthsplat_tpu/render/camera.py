@@ -8,12 +8,24 @@ because the CUDA rasterizer consumes row-vector matrices.
 
 from __future__ import annotations
 
+import os
+
 import jax.numpy as jnp
 from jax import Array
 
 # The CUDA rasterizer composites on pixels whose 16x16 tile intersects the
-# gaussian's screen-space bounding rect; tile size is part of render semantics.
-TILE = 16
+# gaussian's screen-space bounding rect. Tile size is output-invariant up to
+# floating-point ordering: a larger tile only ADDS candidate instances, and
+# each addition is zeroed by the kernel's alpha >= 1/255 gate (see
+# expand.py's exact ellipse-tile cull note). It is therefore a pure
+# performance knob: bigger tiles -> fewer instances (smaller pack-VJP
+# scatter, the #1 render cost) but more per-pixel compositing work.
+# Env-overridable for experiments (MDS_TILE, or MDS_TILE_X/MDS_TILE_Y for
+# rectangular tiles); the default 16x16 matches the CUDA reference and the
+# measured v5e optimum (PERF.md round-4 tile-size table).
+TILE_X = int(os.environ.get("MDS_TILE_X", os.environ.get("MDS_TILE", "16")))
+TILE_Y = int(os.environ.get("MDS_TILE_Y", os.environ.get("MDS_TILE", "16")))
+TILE = TILE_X  # legacy alias for square-tile dev scripts
 # Low-pass dilation added to the projected 2D covariance diagonal.
 COV2D_DILATION = 0.3
 # View-space near-culling threshold.

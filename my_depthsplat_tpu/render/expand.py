@@ -33,7 +33,7 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .camera import ALPHA_MIN, TILE
+from .camera import ALPHA_MIN, TILE_X, TILE_Y
 
 _SUB = 8
 _LANES = 512
@@ -112,10 +112,10 @@ def _expand_kernel(
         ty = ry + jdiv
         tx = rx + (j - jdiv * rw)
         ok = (j < area) & valid
-        x0 = (tx * TILE).astype(jnp.float32) - xs
-        y0 = (ty * TILE).astype(jnp.float32) - ys
+        x0 = (tx * TILE_X).astype(jnp.float32) - xs
+        y0 = (ty * TILE_Y).astype(jnp.float32) - ys
         qmin = rect_quadratic_min(
-            ca, cb, cc, x0, x0 + float(TILE - 1), y0, y0 + float(TILE - 1)
+            ca, cb, cc, x0, x0 + float(TILE_X - 1), y0, y0 + float(TILE_Y - 1)
         )
         # no bool-valued where: Mosaic rejects the i8->i1 select truncation
         ok &= (qmin <= thr) | jnp.logical_not(pd)

@@ -53,7 +53,7 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-from .camera import ALPHA_MIN, TILE
+from .camera import ALPHA_MIN, TILE_X, TILE_Y
 from .expand import expand_keys, rect_quadratic_min
 from .projection import ScreenGaussians
 
@@ -151,8 +151,8 @@ def build_tile_instances_batched(
     counted in num_dropped.
     """
     h, w = image_shape
-    grid_x = (w + TILE - 1) // TILE
-    grid_y = (h + TILE - 1) // TILE
+    grid_x = (w + TILE_X - 1) // TILE_X
+    grid_y = (h + TILE_Y - 1) // TILE_Y
     n_tiles = grid_x * grid_y
     b, g = sg.depth.shape
     r = max_tiles_per_gaussian
@@ -354,11 +354,11 @@ def build_tile_instances_batched(
             ty = rmin_y + jdiv
             tx = rmin_x + (j - jdiv * rw)
             ok = (j < area_) & valid
-            x0 = (tx * TILE).astype(jnp.float32) - xs_
-            y0 = (ty * TILE).astype(jnp.float32) - ys_
+            x0 = (tx * TILE_X).astype(jnp.float32) - xs_
+            y0 = (ty * TILE_Y).astype(jnp.float32) - ys_
             qmin = rect_quadratic_min(
                 ca_, cb_, cc_,
-                x0, x0 + float(TILE - 1), y0, y0 + float(TILE - 1),
+                x0, x0 + float(TILE_X - 1), y0, y0 + float(TILE_Y - 1),
             )
             ok &= jnp.where(pd_, qmin <= thr_, True)
             tid = jnp.where(

@@ -21,7 +21,8 @@ from ..geometry import get_fov
 from .camera import (
     ALPHA_MAX,
     ALPHA_MIN,
-    TILE,
+    TILE_X,
+    TILE_Y,
     TRANSMITTANCE_EPS,
     scale_invariant_normalization,
 )
@@ -38,7 +39,9 @@ def _composite_chunk(
     g = sg.depth.shape[0]
     n_blocks = g // block
 
-    tile_xy = (pix_xy // TILE).astype(jnp.int32)  # (P, 2)
+    tile_xy = (
+        pix_xy // jnp.asarray([TILE_X, TILE_Y], pix_xy.dtype)
+    ).astype(jnp.int32)  # (P, 2)
 
     def body(carry, blk):
         # p_raw: unfrozen running product (sticky termination across blocks,

@@ -41,7 +41,8 @@ from ..geometry import get_fov
 from .camera import (
     ALPHA_MAX,
     ALPHA_MIN,
-    TILE,
+    TILE_X,
+    TILE_Y,
     TRANSMITTANCE_EPS,
     scale_invariant_normalization,
 )
@@ -52,13 +53,18 @@ from .instances import (
 )
 from .projection import project_gaussians
 
-CHUNK = 256
 _ALIGN = 128  # Mosaic lane-slice alignment for HBM DMA windows
 # Max gaussians per view-group so the pack-VJP scatter accumulator
 # (PACKED_ROWS x rows x 4 B) stays inside the fast-cache regime (~16 MB on
 # v5e; measured cliff: 15 ns/index below, 100+ ns above).
 _SCATTER_ACC_ROWS_FAST = 262_144
-_NPIX = TILE * TILE
+_NPIX = TILE_X * TILE_Y
+# Instances per DMA chunk. The kernels' live VMEM working set scales with
+# NPIX * CHUNK (the wide per-chunk alpha/scan intermediates), so CHUNK
+# shrinks as tile area grows to stay inside the ~16 MB scoped-vmem limit;
+# the floor is the 128-lane DMA alignment (a smaller window could not cover
+# an unaligned run's lead lanes).
+CHUNK = max(_ALIGN, (256 * 256) // _NPIX)
 _OUTC = 8  # r, g, b, t_final, n_contrib, pad, pad, pad
 
 # Set True (e.g. from tests) to run the kernels in the Pallas interpreter on
@@ -112,10 +118,10 @@ def _lane_cumprod(x, reverse=False):
 
 def _pixel_coords(ty, tx, dtype=jnp.float32):
     p = jax.lax.broadcasted_iota(jnp.int32, (_NPIX, 1), 0)
-    row = p // TILE
-    col = p % TILE
-    px = (tx * TILE + col).astype(dtype)
-    py = (ty * TILE + row).astype(dtype)
+    row = p // TILE_X
+    col = p % TILE_X
+    px = (tx * TILE_X + col).astype(dtype)
+    py = (ty * TILE_Y + row).astype(dtype)
     return px, py
 
 
@@ -669,13 +675,15 @@ def render_pallas(
             grid_hw=part.grid_hw,
             num_dropped=dropped,
         )
-    gy, gx = (h + TILE - 1) // TILE, (w + TILE - 1) // TILE
+    gy, gx = (h + TILE_Y - 1) // TILE_Y, (w + TILE_X - 1) // TILE_X
     raw = composite_tiles(
         inst.packed, inst.starts, inst.counts, background_color, (b, gy, gx),
         composite_dtype,
     )
-    image = raw[..., 0:3].reshape(b, gy, gx, TILE, TILE, 3)
-    image = image.transpose(0, 1, 3, 2, 4, 5).reshape(b, gy * TILE, gx * TILE, 3)
+    image = raw[..., 0:3].reshape(b, gy, gx, TILE_Y, TILE_X, 3)
+    image = image.transpose(0, 1, 3, 2, 4, 5).reshape(
+        b, gy * TILE_Y, gx * TILE_X, 3
+    )
     image = image[:, :h, :w]
     if return_aux:
         return image, {"num_dropped": inst.num_dropped}

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax import Array
 
 from ..gaussians.sh import eval_sh
-from .camera import COV2D_DILATION, NEAR_CULL_Z, TILE
+from .camera import COV2D_DILATION, NEAR_CULL_Z, TILE_X, TILE_Y
 
 
 class ScreenGaussians(NamedTuple):
@@ -120,24 +120,24 @@ def project_gaussians(
     radius = jnp.ceil(3.0 * jnp.sqrt(lam1))
 
     # Tile rect [min, max) the gaussian touches (CUDA getRect).
-    grid_x = (w + TILE - 1) // TILE
-    grid_y = (h + TILE - 1) // TILE
+    grid_x = (w + TILE_X - 1) // TILE_X
+    grid_y = (h + TILE_Y - 1) // TILE_Y
     rmin = jnp.stack(
         [
-            jnp.clip(jnp.floor((pix_x - radius) / TILE).astype(jnp.int32), 0, grid_x),
-            jnp.clip(jnp.floor((pix_y - radius) / TILE).astype(jnp.int32), 0, grid_y),
+            jnp.clip(jnp.floor((pix_x - radius) / TILE_X).astype(jnp.int32), 0, grid_x),
+            jnp.clip(jnp.floor((pix_y - radius) / TILE_Y).astype(jnp.int32), 0, grid_y),
         ],
         axis=-1,
     )
     rmax = jnp.stack(
         [
             jnp.clip(
-                jnp.floor((pix_x + radius + TILE - 1) / TILE).astype(jnp.int32),
+                jnp.floor((pix_x + radius + TILE_X - 1) / TILE_X).astype(jnp.int32),
                 0,
                 grid_x,
             ),
             jnp.clip(
-                jnp.floor((pix_y + radius + TILE - 1) / TILE).astype(jnp.int32),
+                jnp.floor((pix_y + radius + TILE_Y - 1) / TILE_Y).astype(jnp.int32),
                 0,
                 grid_y,
             ),

@@ -113,6 +113,63 @@ def load_pretrained_depth(params: Any, loaded: Any) -> Any:
     )
 
 
+def resolve_checkpoint_uri(
+    path: str | Path, download_dir: Path = Path("checkpoints")
+) -> Path:
+    """Resolve a checkpoint source to a local path.
+
+    Plain paths pass through. ``wandb://run_id[:version]`` downloads the
+    run's latest COMMITTED model artifact (or the named version) to
+    ``download_dir/run_id`` and returns its model.ckpt — the reference's
+    update_checkpoint_path scheme (src/misc/wandb_tools.py:43-62). The
+    project is taken from the WANDB_PROJECT env var. Raises a clear error
+    when wandb is not installed in this environment.
+    """
+    s = str(path)
+    if not s.startswith("wandb://"):
+        return Path(path)
+    try:
+        import wandb
+    except ImportError as e:
+        raise RuntimeError(
+            f"checkpoint URI {s!r} needs the wandb package, which is not "
+            "installed in this environment — download the artifact "
+            "elsewhere and pass a local path instead"
+        ) from e
+    import os
+
+    run_id, _, version = s[len("wandb://"):].partition(":")
+    project = os.environ.get("WANDB_PROJECT")
+    if not project:
+        raise RuntimeError(
+            f"checkpoint URI {s!r}: set WANDB_PROJECT to the wandb project "
+            "that owns the run"
+        )
+    api = wandb.Api()
+    run = api.run(f"{project}/{run_id}")
+    chosen = None
+    for artifact in run.logged_artifacts():
+        if artifact.type != "model" or artifact.state != "COMMITTED":
+            continue
+        if not version:
+            if chosen is None or int(artifact.version[1:]) > int(
+                chosen.version[1:]
+            ):
+                chosen = artifact
+        elif version == artifact.version:
+            chosen = artifact
+            break
+    if chosen is None:
+        raise FileNotFoundError(
+            f"no COMMITTED model artifact matching {s!r} on run "
+            f"{project}/{run_id}"
+        )
+    root = Path(download_dir) / run_id
+    root.mkdir(exist_ok=True, parents=True)
+    chosen.download(root=root)
+    return root / "model.ckpt"
+
+
 def load_slot_params(path: str | Path, state: Any, vit_depth: int) -> Any:
     """Load a pretrained-slot source into a params tree.
 
@@ -122,9 +179,11 @@ def load_slot_params(path: str | Path, state: Any, vit_depth: int) -> Any:
       convert/depthsplat_ckpt.py (unmapped leaves keep current values);
     - an orbax checkpoint directory saved by this framework — a full
       TrainState (params extracted) or a bare params tree.
-    Returns a params tree shaped like ``state.params``.
+    ``wandb://run_id[:version]`` URIs are resolved through
+    resolve_checkpoint_uri first. Returns a params tree shaped like
+    ``state.params``.
     """
-    p = Path(path)
+    p = resolve_checkpoint_uri(path)
     if p.suffix in (".pth", ".pt", ".ckpt", ".bin"):
         import torch
 

@@ -113,6 +113,20 @@ def make_train_step(
         return TrainState.create(params, tx, lpips_params)
 
     def loss_fn(params, state: TrainState, batch):
+        from ..utils.shapes import check_views
+
+        # batch-seam validation (trace-time only): context and target must
+        # share B; a (B, V)-swap or transposed image fails with a named error
+        dims = check_views(batch["context"], "batch.context")
+        check_views(batch["target"], "batch.target", {"B": dims["B"]})
+        if cfg.encoder.train_depth_only and "depth" not in batch["context"]:
+            # fail before tracing the encoder: depth-only pre-training needs
+            # GT depth in the batch (see _depth_only_loss)
+            raise ValueError(
+                "encoder.train_depth_only=True requires GT depth in the "
+                "batch (context.depth) — use a dataset that provides it "
+                "(arkit_scenes)"
+            )
         target = batch["target"]
         h, w = target["image"].shape[2:4]
         # precision policy (encoder.compute_dtype): bf16 casts happen inside
@@ -162,6 +176,12 @@ def make_train_step(
         if dec.num_dropped is not None:
             # instance-budget overflow (CUDA never drops) — watch this stay 0
             logs["render/num_dropped"] = dec.num_dropped.astype(jnp.float32)
+        if out.get("sweep_window_overflow") is not None:
+            # taps the window-mode plane sweep dropped (must stay 0: a
+            # too-narrow encoder.sweep_window silently degrades cost volumes)
+            logs["sweep/window_overflow"] = out["sweep_window_overflow"].astype(
+                jnp.float32
+            )
         if dec.depth is not None:
             logs["render/depth_mean"] = dec.depth.mean()
         # train/psnr on the final prediction (model_wrapper.py:238-243)

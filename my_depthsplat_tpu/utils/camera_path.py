@@ -46,7 +46,13 @@ def interpolate_extrinsics(initial, final, t) -> np.ndarray:
     t may lie outside [0, 1]: the rotation extrapolates along the relative
     axis-angle (matching the reference's interpolate_pose semantics,
     interpolation.py — required by the exaggerated-interpolation video
-    trajectory which evaluates t in [-2, 3])."""
+    trajectory which evaluates t in [-2, 3]).
+
+    DELIBERATE DEVIATION: the reference pivots the camera about an
+    estimated focus point (camera_trajectory/interpolation.py
+    intersect-rays pivot) so interpolated frames orbit the scene; this
+    slerp+lerp path moves along the chord instead. Visualization-only —
+    videos are not frame-identical to the reference's."""
     t = np.asarray(t, np.float32)
     rel = Rotation.from_matrix(final[:3, :3] @ initial[:3, :3].T).as_rotvec()
     r = (

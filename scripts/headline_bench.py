@@ -1,15 +1,35 @@
-"""Measure the reference's headline workload on this framework: feed-forward
-reconstruction (encoder -> gaussians -> render 1 target view) for 12 context
-views at 512x960 (reference: 0.6 s end-to-end on one A100, README.md:105).
+"""Pinned, reproducible measurement of the reference's headline workload:
+feed-forward reconstruction (12 context views @ 512x960 -> gaussians ->
+render 1 target view) on this framework. Reference: 0.6 s end-to-end on one
+A100 (/root/reference/README.md:105).
 
-Development tool; run on the real TPU.
+Model config matches the reference's 512x960 video-rendering recipe
+(README.md:115-135): gs-base = vitb monodepth, num_scales=2,
+upsample_factor=4, lowest feature resolution 1/8.
+
+Usage (run on the real TPU):
+
+    # single configuration
+    python scripts/headline_bench.py --sweep-dtype bfloat16 --net-dtype bfloat16
+    # the full {f32,bf16net} x {gather,window} matrix -> JSON artifact
+    python scripts/headline_bench.py --matrix --json artifacts/HEADLINE_rNN.json
+
+The recorded r04 headline (artifacts/HEADLINE_r04.json) is reproduced by
+`--matrix`; the shipped fast config (configs/re10k_720p_fast.yaml) pins the
+winning combination. Timing: jit-compiled forward, 1 warm-up, then min of
+--iters wall-clock runs with block_until_ready (the program is ~1 s of device
+work, so dispatch overlap is negligible; see PERF.md "Tunnel measurement
+gotchas").
 """
 
 from __future__ import annotations
 
+import argparse
+import json
 import os
 import sys
 import time
+from dataclasses import replace
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -23,34 +43,34 @@ from my_depthsplat_tpu.models import (
     EncoderDepthSplat,
     decode_splatting,
 )
+from my_depthsplat_tpu.models.precision import apply_with_precision
 
 
-def main() -> None:
-    v_ctx = int(sys.argv[1]) if len(sys.argv) > 1 else 12
-    h = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-    w = int(sys.argv[3]) if len(sys.argv) > 3 else 960
-
-    if "bf16" in sys.argv:
-        # halve the byte-bound plane-sweep gather (see unimatch cfg)
-        sweep_dtype = "bfloat16"
-    else:
-        sweep_dtype = "float32"
-    if len(sys.argv) > 4 and sys.argv[4] == "small":
+def build_cfg(a: argparse.Namespace):
+    if a.model == "small":
+        # gs-small: vits, single scale, 1/4 features
         cfg = ge._encoder_cfg(tiny=False)
     else:
-        # the reference's 512x960 video-rendering config (README.md:115-135):
-        # gs-base = vitb, num_scales=2, upsample_factor=4, lowest res 1/8
-        from dataclasses import replace
-
         cfg = replace(
             ge._encoder_cfg(tiny=False),
             num_scales=2,
             upsample_factor=4,
             lowest_feature_resolution=8,
             monodepth_vit_type="vitb",
-            sweep_gather_dtype=sweep_dtype,
         )
-    batch = ge._make_batch(b=1, v_ctx=v_ctx, v_tgt=1, h=h, w=w)
+    return replace(
+        cfg,
+        sweep_gather_dtype=a.sweep_dtype,
+        sweep_mode=a.sweep_mode,
+        sweep_window=a.window,
+        sweep_window_groups_scale0=a.window_groups_scale0,
+        compute_dtype=a.net_dtype,
+    )
+
+
+def measure(a: argparse.Namespace) -> dict:
+    cfg = build_cfg(a)
+    batch = ge._make_batch(b=1, v_ctx=a.views, v_tgt=1, h=a.height, w=a.width)
     encoder = EncoderDepthSplat(cfg)
     shapes = jax.eval_shape(
         lambda key: encoder.init(key, batch["context"], training=False),
@@ -67,29 +87,17 @@ def main() -> None:
 
     params = jax.tree.map(mat, shapes)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
-    print(f"params: {n_params/1e6:.1f}M", flush=True)
-
-    encoder_only = "encoder_only" in sys.argv
-    bf16net = "bf16net" in sys.argv
 
     def forward(params, batch):
-        context = batch["context"]
-        if bf16net:
-            from my_depthsplat_tpu.models.precision import (
-                cast_network_inputs,
-                cast_outputs_f32,
-            )
-
-            params, context = cast_network_inputs(params, context, jnp.bfloat16)
-            out = cast_outputs_f32(
-                encoder.apply(params, context, training=False)
-            )
-        else:
-            out = encoder.apply(params, context, training=False)
-        if encoder_only:
+        out = apply_with_precision(
+            encoder.apply, cfg.compute_dtype, params, batch["context"],
+            training=False,
+        )
+        ovf = out.get("sweep_window_overflow")
+        if a.encoder_only:
             # the reference's 0.6 s headline is feed-forward RECONSTRUCTION
             # (images -> gaussians); rendering frames is a separate step
-            return out["gaussians"].means
+            return out["gaussians"].means, ovf
         dec = decode_splatting(
             DecoderSplattingCfg(),
             out["gaussians"],
@@ -99,23 +107,113 @@ def main() -> None:
             batch["target"]["far"],
             batch["target"]["image"].shape[2:4],
         )
-        return dec.color
+        return dec.color, ovf
 
     f = jax.jit(forward)
     t0 = time.perf_counter()
-    out = f(params, batch)
+    out, ovf = f(params, batch)
     jax.block_until_ready(out)
-    print(f"compile+first: {time.perf_counter()-t0:.1f}s, out {out.shape}", flush=True)
+    compile_s = time.perf_counter() - t0
     ts = []
-    for _ in range(3):
+    for _ in range(a.iters):
         t0 = time.perf_counter()
-        out = f(params, batch)
+        out, ovf = f(params, batch)
         jax.block_until_ready(out)
         ts.append(time.perf_counter() - t0)
-    print(
-        f"{v_ctx}-view {h}x{w} forward: min {min(ts)*1e3:.0f} ms "
-        f"(reference A100 headline: 600 ms end-to-end)"
-    )
+    if a.profile:
+        with jax.profiler.trace(a.profile):
+            out, ovf = f(params, batch)
+            jax.block_until_ready(out)
+    ms = [round(t * 1e3, 1) for t in ts]
+    mpix = a.views * a.height * a.width / 1e6
+    return {
+        "views": a.views,
+        "h": a.height,
+        "w": a.width,
+        "model": a.model,
+        "sweep_dtype": a.sweep_dtype,
+        "sweep_mode": a.sweep_mode,
+        "window": a.window if a.sweep_mode == "window" else None,
+        "window_groups_scale0": (
+            a.window_groups_scale0 if a.sweep_mode == "window" else None
+        ),
+        "net_dtype": a.net_dtype,
+        "encoder_only": a.encoder_only,
+        "params_m": round(n_params / 1e6, 1),
+        "compile_s": round(compile_s, 1),
+        "ms": ms,
+        "ms_min": min(ms),
+        "mpix_per_s": round(mpix / (min(ms) / 1e3), 2),
+        "sweep_window_overflow": (int(ovf) if ovf is not None else None),
+    }
+
+
+MATRIX = [
+    # (label, overrides) — the {precision} x {sweep path} measurement grid
+    ("f32_gather", {}),
+    ("bf16sweep_gather", {"sweep_dtype": "bfloat16"}),
+    ("f32_window", {"sweep_mode": "window"}),
+    ("bf16net_gather", {"net_dtype": "bfloat16"}),
+    ("bf16net_window", {"net_dtype": "bfloat16", "sweep_mode": "window"}),
+]
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--views", type=int, default=12)
+    p.add_argument("--height", type=int, default=512)
+    p.add_argument("--width", type=int, default=960)
+    p.add_argument("--model", choices=("base", "small"), default="base")
+    p.add_argument("--sweep-dtype", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="plane-sweep gather precision (sweep_gather_dtype)")
+    p.add_argument("--sweep-mode", choices=("gather", "window"),
+                   default="gather")
+    p.add_argument("--window", type=int, default=6,
+                   help="sweep_window (window mode)")
+    p.add_argument("--window-groups-scale0", type=int, default=16,
+                   help="sweep_window_groups_scale0 (window mode, scale 0)")
+    p.add_argument("--net-dtype", choices=("float32", "bfloat16"),
+                   default="float32",
+                   help="network compute precision (encoder.compute_dtype)")
+    p.add_argument("--encoder-only", action="store_true",
+                   help="stop at gaussians (no render) like the reference's "
+                        "reconstruction headline")
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--matrix", action="store_true",
+                   help="run the full precision x sweep-path matrix")
+    p.add_argument("--json", type=str, default=None,
+                   help="write results (single dict or matrix list) to PATH")
+    p.add_argument("--profile", type=str, default=None,
+                   help="dump a device profile trace to DIR (single mode)")
+    a = p.parse_args()
+
+    meta = {
+        "workload": f"{a.views}-view {a.height}x{a.width} feed-forward "
+                    "reconstruction + 1 target render",
+        "reference": "0.6 s end-to-end, 1x A100 (README.md:105)",
+        "device": jax.devices()[0].device_kind,
+        "jax": jax.__version__,
+        "cmd": " ".join(sys.argv),
+    }
+    if a.matrix:
+        results = []
+        for label, overrides in MATRIX:
+            run = argparse.Namespace(**{**vars(a), **overrides})
+            r = measure(run)
+            r["label"] = label
+            print(json.dumps(r), flush=True)
+            results.append(r)
+        payload = {"meta": meta, "results": results}
+    else:
+        r = measure(a)
+        print(json.dumps(r), flush=True)
+        payload = {"meta": meta, "results": [r]}
+
+    if a.json:
+        with open(a.json, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        print(f"wrote {a.json}", flush=True)
 
 
 if __name__ == "__main__":

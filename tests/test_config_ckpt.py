@@ -105,3 +105,20 @@ def test_new_encoder_cfg_fields_roundtrip(tmp_path):
     assert enc.spmd_view_axis == "model"
     assert enc.spmd_depth_axis == "model"
     assert enc.sweep_gather_dtype == "bfloat16"
+
+
+def test_wandb_uri_resolution(tmp_path, monkeypatch):
+    """wandb:// checkpoint URIs (reference src/misc/wandb_tools.py:43-62):
+    plain paths pass through; wandb URIs raise a clear error when wandb (or
+    its project config) is unavailable in this environment."""
+    import pytest
+
+    from my_depthsplat_tpu.train.checkpoints import resolve_checkpoint_uri
+
+    p = tmp_path / "ckpt"
+    assert resolve_checkpoint_uri(p) == p
+    assert resolve_checkpoint_uri(str(p)) == p
+
+    monkeypatch.delenv("WANDB_PROJECT", raising=False)
+    with pytest.raises(RuntimeError, match="wandb"):
+        resolve_checkpoint_uri("wandb://abc123:v4")

@@ -116,13 +116,19 @@ def test_depth_only_train_step():
 def test_depth_only_requires_gt_depth():
     import dataclasses
 
+    from my_depthsplat_tpu.train.step import TrainState
+
     cfg = _tiny_train_cfg()
     cfg = dataclasses.replace(
         cfg, encoder=dataclasses.replace(cfg.encoder, train_depth_only=True)
     )
-    init_fn, train_step = make_train_step(cfg)
+    _, train_step = make_train_step(cfg)
     batch = make_batch(h=32, w=32)
-    state = init_fn(jax.random.key(0), batch)
+    # the guard fires at trace time before the encoder runs, so no real
+    # params are needed (a full eager init cost ~110 s of this test's time)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params={}, opt_state=None
+    )
     with pytest.raises(ValueError, match="train_depth_only"):
         train_step(state, batch)
 

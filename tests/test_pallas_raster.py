@@ -219,3 +219,35 @@ def test_pallas_matches_oracle_gradients():
             gp / scale, go / scale, atol=5e-4,
             err_msg=f"gradient mismatch: {name}",
         )
+
+
+@pytest.mark.slow
+def test_tile_size_is_output_invariant():
+    """TILE_X/TILE_Y are pure perf knobs (camera.py): a 32x32-tile render
+    must match the oracle exactly like the default 16x16 does. Subprocess:
+    the tile constants bind at import."""
+    import subprocess
+    import sys
+    import os
+
+    code = (
+        "import tests.test_pallas_raster as t\n"
+        "from my_depthsplat_tpu.render import pallas_raster, render_oracle\n"
+        "from my_depthsplat_tpu.render.camera import TILE_X, TILE_Y\n"
+        "import numpy as np\n"
+        "assert (TILE_X, TILE_Y) == (32, 32), (TILE_X, TILE_Y)\n"
+        "pallas_raster.INTERPRET = True\n"
+        "args, hw = t.random_scene(150)\n"
+        "o = render_oracle(*args[:4], hw, args[4], *args[5:])\n"
+        "p = pallas_raster.render_pallas(*args[:4], hw, args[4], *args[5:])\n"
+        "np.testing.assert_allclose(np.asarray(p), np.asarray(o), atol=2e-5)\n"
+        "print('tile32 parity OK')\n"
+    )
+    env = dict(os.environ, MDS_TILE="32", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd=os.path.dirname(os.path.dirname(__file__)),
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "tile32 parity OK" in r.stdout

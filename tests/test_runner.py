@@ -108,3 +108,25 @@ def test_run_test_full_outputs(tmp_path):
 
     parsed = json.loads((tmp_path / "scores_all_avg.json").read_text())
     assert "psnr" in parsed and "ssim" in parsed
+
+
+def test_window_overflow_guard(tmp_path):
+    """Nonzero sweep_window_overflow from the encoder fails eval by default
+    (silently-degraded cost volumes must not produce published numbers) and
+    is downgraded to a warning by allow_window_overflow."""
+    import pytest
+
+    def overflowing_encoder(context):
+        out = stub_encoder(context)
+        out["sweep_window_overflow"] = jnp.asarray(5, jnp.int32)
+        return out
+
+    cfg = TestCfg(output_dir=tmp_path, save_image=False, compute_scores=False)
+    with pytest.raises(AssertionError, match="dropped 5 taps"):
+        run_test(cfg, overflowing_encoder, [make_batch()])
+
+    cfg = TestCfg(
+        output_dir=tmp_path, save_image=False, compute_scores=False,
+        allow_window_overflow=True,
+    )
+    run_test(cfg, overflowing_encoder, [make_batch()])  # warns, completes

@@ -72,3 +72,28 @@ def test_losses_reject_swapped_axes():
             jnp.zeros((1, 8, 8, 2, 3)),  # V moved
             jnp.zeros(()),
         )
+
+
+def test_train_step_rejects_mismatched_batch():
+    """The train-step batch seam: target whose B disagrees with context
+    fails at trace time with a named error (VERDICT r3 item 5)."""
+    from my_depthsplat_tpu.train import TrainCfg, make_train_step
+    from my_depthsplat_tpu.train.step import TrainState
+
+    _, train_step = make_train_step(TrainCfg())
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params={}, opt_state=None
+    )
+
+    def views(b, v):
+        return {
+            "image": jnp.zeros((b, v, 8, 8, 3)),
+            "intrinsics": jnp.zeros((b, v, 3, 3)),
+            "extrinsics": jnp.zeros((b, v, 4, 4)),
+            "near": jnp.zeros((b, v)),
+            "far": jnp.zeros((b, v)),
+        }
+
+    batch = {"context": views(1, 2), "target": views(2, 1)}  # B mismatch
+    with pytest.raises(ShapeError, match="batch.target"):
+        train_step(state, batch)
