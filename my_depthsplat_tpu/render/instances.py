@@ -51,6 +51,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import Array
 
 from .camera import ALPHA_MIN, TILE_X, TILE_Y
@@ -461,6 +462,224 @@ def build_tile_instances_batched(
         grid_hw=(grid_y, grid_x),
         num_dropped=num_dropped,
     )
+
+
+def build_tile_instances_grouped(
+    sg: ScreenGaussians,  # SINGLE view: fields without a batch dim
+    image_shape: tuple[int, int],
+    group_slots: int,  # power of two; depth-sorted slots per group
+    max_tiles_per_gaussian: int = 16,
+    chunk: int = 256,
+    instance_budget: int | None = None,
+    big_tile_cap: int | None = None,
+    tier1_tiles: int = 2,
+):
+    """Depth-grouped layouts for the huge-G FORWARD path (no grad support).
+
+    At multi-million gaussian counts the single flat layout leaves the
+    measured fast regimes twice over: the (tile, slot) key no longer packs
+    into int32 (forcing the ~4-5x multi-operand sort), and the pack-gather
+    table leaves cache (measured 13.2 ns/index at 5.9M gaussians vs
+    0.85 ns/index from a cache-resident group table — scripts/
+    profile_gather59-class microbench, PERF.md round-4). This builder splits
+    the GLOBALLY depth-sorted slots into contiguous groups of
+    ``group_slots``: every group's keys pack into int32, its pack table is
+    cache-resident, and because groups partition depth order, compositing
+    group 0 then group 1 ... with chained kernel state reproduces the flat
+    composite EXACTLY (same multiply sequence per pixel).
+
+    Returns (groups, num_dropped) where groups is a list of TileInstances
+    with per-group packed arrays and LOCAL starts/counts over the same
+    (grid_y, grid_x) tile grid.
+    """
+    h, w = image_shape
+    grid_x = (w + TILE_X - 1) // TILE_X
+    grid_y = (h + TILE_Y - 1) // TILE_Y
+    n_tiles = grid_x * grid_y
+    g = sg.depth.shape[0]
+    r = max_tiles_per_gaussian
+    s = group_slots
+    n_groups = -(-g // s)
+    gp = n_groups * s
+    slot_bits = max(1, (s - 1).bit_length())
+    if (n_tiles + 1) << slot_bits > jnp.iinfo(jnp.int32).max:
+        raise ValueError(
+            f"group_slots={s} with {n_tiles} tiles does not pack into int32"
+        )
+
+    def padg(x, fill=0):
+        pad = gp - g
+        if pad == 0:
+            return x
+        return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                       constant_values=fill)
+
+    depth = padg(sg.depth, fill=np.inf)  # padding sorts last, valid=0
+    valid = padg(sg.valid)
+
+    rect_w = padg(sg.rect_max[:, 0] - sg.rect_min[:, 0])
+    rect_h = padg(sg.rect_max[:, 1] - sg.rect_min[:, 1])
+    area = rect_w * rect_h
+    num_dropped = jnp.sum(jnp.where(valid, jnp.maximum(area - r, 0), 0))
+
+    iota = jnp.arange(gp, dtype=jnp.int32)
+    _, order = jax.lax.sort((depth, iota), num_keys=1, is_stable=True)
+
+    area_c = jnp.minimum(area, r)
+    rect_u16 = jnp.stack(
+        [
+            padg(sg.rect_min[:, 0]),
+            padg(sg.rect_min[:, 1]),
+            jnp.maximum(rect_w, 1),
+            area_c,
+            valid.astype(jnp.int32),
+            jnp.zeros((gp,), jnp.int32),  # vid == 0 (single view)
+        ],
+        axis=0,
+    ).astype(jnp.uint16)
+    # only the 9 DATA rows travel through the gathers here (the flat builder
+    # carries PACKED_ROWS=16 for sublane alignment; at huge G the 7 zero pad
+    # rows would be 37% of the dominant slot-gather's bytes) — the pad rows
+    # are re-attached after the per-group pack.
+    rows = jnp.stack(
+        [
+            padg(sg.xy[:, 0]),
+            padg(sg.xy[:, 1]),
+            padg(sg.conic[:, 0]),
+            padg(sg.conic[:, 1]),
+            padg(sg.conic[:, 2]),
+            padg(sg.opacity),
+            padg(sg.color[:, 0]),
+            padg(sg.color[:, 1]),
+            padg(sg.color[:, 2]),
+        ]
+    )  # (9, Gp)
+    table = jnp.concatenate([rect_u16, _to_u16(rows)], axis=0)  # (24, Gp)
+    # the one unavoidable out-of-cache gather: everything moves to globally
+    # depth-sorted slot space ONCE; groups below are contiguous slices of it
+    table_s = table[:, order]
+
+    from . import pallas_raster as _pr  # lazy: shares the INTERPRET switch
+
+    # Every layout cost below is paid PER CANDIDATE LANE at the measured
+    # ~12.5 ns/index rate, so the huge-G path defaults tier 1 to 2 bbox tiles
+    # (pixel-scale gaussians from half-megapixel-per-view predictions rarely
+    # span more); wider spans compact into the capped upper tiers, and any
+    # cap overflow is counted in num_dropped (surfaced by eval).
+    t1 = min(tier1_tiles, r)
+    slot_mask = (1 << slot_bits) - 1
+    budget_g = None if instance_budget is None else -(-instance_budget // n_groups)
+    groups = []
+    for gi in range(n_groups):
+        sub = table_s[:, gi * s : (gi + 1) * s]
+        rect_g = sub[:6]
+        rect_i = rect_g.astype(jnp.int32)
+        area_s = rect_i[3]
+        valid_s = rect_i[4] > 0
+        # u16 layout: rows 6:15 = lo halves of the 9 data rows, 15:24 = hi
+        cull6 = _from_u16_pair(sub[6:12], sub[15:21])
+        rows_slot_u16 = sub[6:24]  # (18, s) pack table
+
+        key_parts = [
+            expand_keys(
+                rect_g, cull6, None, 0, t1,
+                grid_x, n_tiles, n_tiles, slot_bits, _pr.INTERPRET,
+            )[:, :s].reshape(-1)
+        ]
+        if r > t1:
+            mid = min(9, r)
+            base_cap = (
+                min(s, big_tile_cap) if big_tile_cap is not None
+                else min(s, max(128, s // 8))
+            )
+            tiers = [(t1, mid, base_cap)]
+            if r > mid:
+                tiers.append((mid, r, min(s, max(128, base_cap // 8))))
+            all_slots = jnp.arange(s, dtype=jnp.int32)
+            sub_rows = jnp.concatenate(
+                [sub[:6], sub[6:12], sub[15:21]], axis=0
+            )  # (18, s) u16
+            for lo, hi, cap_k in tiers:
+                is_small = jnp.where(
+                    valid_s & (area_s > lo), 0, 1
+                ).astype(jnp.int32)
+                _, big_full = jax.lax.sort(
+                    (is_small, all_slots), num_keys=1, is_stable=True
+                )
+                n_big = jnp.sum(1 - is_small)
+                big_slots = big_full[:cap_k]
+                big_live = jnp.arange(cap_k, dtype=jnp.int32) < n_big
+                subt = sub_rows[:, big_slots]
+                valid_row = (
+                    subt[4].astype(jnp.int32) * big_live
+                ).astype(jnp.uint16)
+                rect_b_u16 = jnp.concatenate(
+                    [subt[:4], valid_row[None], subt[5:6]], axis=0
+                )
+                cull_b = _from_u16_pair(subt[6:12], subt[12:18])
+                over = jnp.where(
+                    (1 - is_small) == 1, jnp.minimum(area_s, hi) - lo, 0
+                )
+                cum_big = jnp.cumsum(1 - is_small)
+                num_dropped = num_dropped + jnp.sum(
+                    jnp.where(cum_big > cap_k, over, 0)
+                )
+                key_parts.append(
+                    expand_keys(
+                        rect_b_u16, cull_b, big_slots, lo, hi,
+                        grid_x, n_tiles, n_tiles, slot_bits, _pr.INTERPRET,
+                    )[:, :cap_k].reshape(-1)
+                )
+        key = (
+            jnp.concatenate(key_parts) if len(key_parts) > 1 else key_parts[0]
+        )
+        n_cand = key.shape[0]
+        cap = n_cand if budget_g is None else min(budget_g, n_cand)
+        (sorted_key,) = jax.lax.sort((key,), num_keys=1)
+        bounds = jnp.searchsorted(
+            sorted_key,
+            jnp.arange(n_tiles + 1, dtype=jnp.int32) << slot_bits,
+            side="left",
+        ).astype(jnp.int32)
+        run_starts = bounds[:-1]
+        run_ends = bounds[1:]
+        key_prefix = jnp.pad(
+            sorted_key[:cap], (0, chunk),
+            constant_values=jnp.iinfo(jnp.int32).max,
+        )
+        slot_prefix = key_prefix & slot_mask
+        lane_dead = key_prefix >= (n_tiles << slot_bits)
+
+        counts = run_ends - run_starts
+        avail = jnp.clip(cap - run_starts, 0, None)
+        counts_kept = jnp.minimum(counts, avail)
+        num_dropped = num_dropped + jnp.sum(counts - counts_kept)
+
+        slot_safe = jnp.where(lane_dead, 0, slot_prefix)
+        gathered = rows_slot_u16[:, slot_safe]  # (18, L) — no VJP: the
+        # grouped path is forward-only
+        packed = jnp.concatenate(
+            [
+                _from_u16_pair(
+                    gathered[:_N_DATA_ROWS], gathered[_N_DATA_ROWS:]
+                ),
+                jnp.zeros(
+                    (PACKED_ROWS - _N_DATA_ROWS, gathered.shape[1]),
+                    jnp.float32,
+                ),
+            ]
+        )
+        groups.append(
+            TileInstances(
+                packed=packed,
+                gaussian_id=jnp.zeros((0,), jnp.int32),  # debug-only field
+                starts=run_starts,
+                counts=counts_kept,
+                grid_hw=(grid_y, grid_x),
+                num_dropped=jnp.zeros((), jnp.int32),
+            )
+        )
+    return groups, num_dropped
 
 
 def build_tile_instances(

@@ -163,12 +163,19 @@ def _fwd_kernel(
     counts_ref,  # (n_tiles,) int32 scalar-prefetch
     bg_ref,  # (3,) f32 scalar-prefetch
     packed_ref,  # (PACKED_ROWS, L) in HBM/ANY
-    out_ref,  # (1, 1, NPIX, OUTC) VMEM block
-    data_vmem,  # (2, PACKED_ROWS, CHUNK) double-buffered scratch
-    sem,  # (2,) DMA semaphores
-    *,
+    *rest,  # [init_ref (chained)], out_ref, data_vmem, sem
     cdt=jnp.float32,
+    chained=False,
+    add_bg=True,
 ):
+    # chained=True threads compositing state across multiple kernel launches
+    # (the huge-G grouped forward path): init_ref carries the previous
+    # groups' [rgb, t_frozen, n_contrib, p_raw] per pixel, and the
+    # background is composited only by the final group (add_bg).
+    if chained:
+        init_ref, out_ref, data_vmem, sem = rest
+    else:
+        out_ref, data_vmem, sem = rest
     bb = pl.program_id(0)
     ty = pl.program_id(1)
     tx = pl.program_id(2)
@@ -263,14 +270,26 @@ def _fwd_kernel(
         p_raw = p_full[:, -1:]
         return c + 1, p_raw, t_frozen, rgb, ncon
 
-    init = (
-        jnp.zeros((), jnp.int32),
-        jnp.ones((_NPIX, 1), jnp.float32),
-        jnp.ones((_NPIX, 1), jnp.float32),
-        jnp.zeros((_NPIX, 3), jnp.float32),
-        jnp.zeros((_NPIX, 1), jnp.float32),
+    if chained:
+        st = init_ref[0, 0, 0, :, :]  # (NPIX, OUTC)
+        init = (
+            jnp.zeros((), jnp.int32),
+            st[:, 5:6],  # p_raw (running raw product, sticky termination)
+            st[:, 3:4],  # t_frozen
+            st[:, 0:3],  # rgb (no background yet)
+            st[:, 4:5],  # n_contrib
+        )
+    else:
+        init = (
+            jnp.zeros((), jnp.int32),
+            jnp.ones((_NPIX, 1), jnp.float32),
+            jnp.ones((_NPIX, 1), jnp.float32),
+            jnp.zeros((_NPIX, 3), jnp.float32),
+            jnp.zeros((_NPIX, 1), jnp.float32),
+        )
+    c_exit, p_raw_fin, transmittance, rgb, ncon = jax.lax.while_loop(
+        cond, body, init
     )
-    c_exit, _, transmittance, rgb, ncon = jax.lax.while_loop(cond, body, init)
 
     # drain the prefetch issued by the last body before early exit —
     # a dangling DMA would corrupt the next grid step's semaphore counts
@@ -278,14 +297,18 @@ def _fwd_kernel(
     def _():
         get_dma(c_exit).wait()
 
-    bg = jnp.stack(
-        [bg_ref[bb * 3 + 0], bg_ref[bb * 3 + 1], bg_ref[bb * 3 + 2]]
-    )[None, :]
-    rgb = rgb + transmittance * bg
+    if add_bg:
+        bg = jnp.stack(
+            [bg_ref[bb * 3 + 0], bg_ref[bb * 3 + 1], bg_ref[bb * 3 + 2]]
+        )[None, :]
+        rgb = rgb + transmittance * bg
     out_ref[0, 0, 0, :, 0:3] = rgb
     out_ref[0, 0, 0, :, 3:4] = transmittance
     out_ref[0, 0, 0, :, 4:5] = ncon
-    out_ref[0, 0, 0, :, 5:_OUTC] = jnp.zeros((_NPIX, _OUTC - 5), jnp.float32)
+    # channel 5 carries the raw running product so a later chained group can
+    # resume the sticky-termination test exactly
+    out_ref[0, 0, 0, :, 5:6] = p_raw_fin
+    out_ref[0, 0, 0, :, 6:_OUTC] = jnp.zeros((_NPIX, _OUTC - 6), jnp.float32)
 
 
 def _bwd_kernel(
@@ -487,14 +510,22 @@ def _tile_spec():
     )
 
 
-def _composite_fwd_impl(packed, starts, counts, background, grid_hw, cdt_name):
+def _composite_fwd_impl(packed, starts, counts, background, grid_hw, cdt_name,
+                        init=None, add_bg=True):
     """packed (ROWS, L_total); starts/counts (B*T,) with global offsets;
-    background (B, 3); grid_hw = (B, gy, gx)."""
+    background (B, 3); grid_hw = (B, gy, gx). ``init`` (same tile-major shape
+    as the output) chains compositing state from a previous depth group;
+    add_bg=False defers the background to a later group."""
     b, gy, gx = grid_hw
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    args = [packed]
+    if init is not None:
+        in_specs.append(_tile_spec())
+        args.append(init)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, gy, gx),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=in_specs,
         out_specs=_tile_spec(),
         scratch_shapes=[
             pltpu.VMEM((2, PACKED_ROWS, CHUNK), jnp.float32),
@@ -502,11 +533,14 @@ def _composite_fwd_impl(packed, starts, counts, background, grid_hw, cdt_name):
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, cdt=jnp.dtype(cdt_name).type),
+        functools.partial(
+            _fwd_kernel, cdt=jnp.dtype(cdt_name).type,
+            chained=init is not None, add_bg=add_bg,
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, gy, gx, _NPIX, _OUTC), jnp.float32),
         interpret=INTERPRET,
-    )(starts.reshape(-1), counts.reshape(-1), background.reshape(-1), packed)
+    )(starts.reshape(-1), counts.reshape(-1), background.reshape(-1), *args)
 
 
 def _composite_bwd_impl(
@@ -583,6 +617,75 @@ def _composite_fwd_real(packed, starts, counts, background, grid_hw,
 composite_tiles.defvjp(_composite_fwd_real, _composite_bwd_real)
 
 
+# Huge-G forward path: above this per-view gaussian count the flat layout
+# leaves both measured fast regimes (int32 sort keys + cache-resident pack
+# tables; see build_tile_instances_grouped), so the render switches to
+# depth-grouped chained compositing. Forward/eval only — training batches
+# stay far below this.
+_CHAIN_MIN_G = 1 << 21
+_CHAIN_GROUP_SLOTS = 1 << 19
+
+
+def _render_grouped_impl(static, arrays):
+    """Per-view, per-depth-group chained compositing (exact; forward-only)."""
+    (image_shape, use_sh, max_tiles, budget, big_cap, cdt) = static
+    extrinsics, intrinsics, fovs, means, cov, sh, opac, background = arrays
+    h, w = image_shape
+    b = extrinsics.shape[0]
+    gy, gx = (h + TILE_Y - 1) // TILE_Y, (w + TILE_X - 1) // TILE_X
+
+    from .instances import build_tile_instances_grouped
+
+    images = []
+    dropped = jnp.zeros((), jnp.int32)
+    for i in range(b):
+        sg = project_gaussians(
+            extrinsics[i], means[i], cov[i], sh[i], opac[i],
+            jnp.tan(0.5 * fovs[i, 0]), jnp.tan(0.5 * fovs[i, 1]),
+            image_shape, use_sh,
+        )
+        groups, nd = build_tile_instances_grouped(
+            sg, image_shape, _CHAIN_GROUP_SLOTS, max_tiles, CHUNK,
+            budget, big_cap,
+        )
+        dropped = dropped + nd
+        # state channels: rgb(3), t_frozen, n_contrib, p_raw, pad, pad
+        state = jnp.zeros((1, gy, gx, _NPIX, _OUTC), jnp.float32)
+        state = state.at[..., 3].set(1.0).at[..., 5].set(1.0)
+        bg_i = background[i : i + 1]
+        for k, inst in enumerate(groups):
+            state = _composite_fwd_impl(
+                inst.packed, inst.starts, inst.counts, bg_i, (1, gy, gx),
+                cdt, init=state, add_bg=(k == len(groups) - 1),
+            )
+        img = state[..., 0:3].reshape(1, gy, gx, TILE_Y, TILE_X, 3)
+        img = img.transpose(0, 1, 3, 2, 4, 5).reshape(
+            1, gy * TILE_Y, gx * TILE_X, 3
+        )
+        images.append(img[:, :h, :w])
+    return jnp.concatenate(images, axis=0), dropped
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _render_grouped(static, arrays):
+    return _render_grouped_impl(static, arrays)
+
+
+def _render_grouped_fwd(static, arrays):
+    return _render_grouped_impl(static, arrays), None
+
+
+def _render_grouped_bwd(static, res, g):
+    raise NotImplementedError(
+        "the huge-G grouped render path is forward-only (eval/inference); "
+        f"differentiate renders with fewer than {_CHAIN_MIN_G} gaussians "
+        "per view"
+    )
+
+
+_render_grouped.defvjp(_render_grouped_fwd, _render_grouped_bwd)
+
+
 def render_pallas(
     extrinsics: Array,
     intrinsics: Array,
@@ -622,6 +725,23 @@ def render_pallas(
 
     h, w = image_shape
     fovs = get_fov(intrinsics)  # (B, 2)
+
+    if gaussian_means.shape[1] >= _CHAIN_MIN_G:
+        static = (
+            image_shape, use_sh, max_tiles_per_gaussian, instance_budget,
+            big_tile_cap, composite_dtype,
+        )
+        image, dropped = _render_grouped(
+            static,
+            (
+                extrinsics, intrinsics, fovs, gaussian_means,
+                gaussian_covariances, gaussian_sh_coefficients,
+                gaussian_opacities, background_color,
+            ),
+        )
+        if return_aux:
+            return image, {"num_dropped": dropped}
+        return image
 
     def proj_one(e, k, fov, m, c, s, o):
         return project_gaussians(

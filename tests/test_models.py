@@ -242,7 +242,7 @@ def test_plane_sweep_depth_chunking_exact():
     from my_depthsplat_tpu.models.unimatch import MultiViewUniMatch
 
     rng = np.random.default_rng(0)
-    b, v, h, w = 1, 3, 32, 64
+    b, v, h, w = 1, 3, 32, 48
     imgs = jnp.asarray(rng.uniform(0, 1, (b, v, h, w, 3)).astype(np.float32))
     intr = np.broadcast_to(
         np.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]], np.float32),
@@ -367,7 +367,7 @@ def test_plane_sweep_window_mode_parity():
     from my_depthsplat_tpu.models.unimatch import MultiViewUniMatch
 
     rng = np.random.default_rng(2)
-    b, v, h, w = 1, 2, 32, 64
+    b, v, h, w = 1, 2, 32, 48
     imgs = jnp.asarray(rng.uniform(0, 1, (b, v, h, w, 3)).astype(np.float32))
     intr = np.broadcast_to(
         np.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]], np.float32),

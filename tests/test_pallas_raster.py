@@ -251,3 +251,37 @@ def test_tile_size_is_output_invariant():
     )
     assert r.returncode == 0, r.stdout + r.stderr
     assert "tile32 parity OK" in r.stdout
+
+
+def test_grouped_chain_matches_flat(monkeypatch):
+    """The huge-G depth-grouped chained forward (build_tile_instances_grouped
+    + chained _fwd_kernel state) reproduces the flat single-layout composite:
+    groups partition the global depth order, so chaining (rgb, t_frozen,
+    p_raw) across groups is the same per-pixel multiply sequence."""
+    args, (h, w) = random_scene(600, seed=4)
+    img_flat = pallas_raster.render_pallas(*args[:4], (h, w), args[4], *args[5:])
+
+    monkeypatch.setattr(pallas_raster, "_CHAIN_MIN_G", 1)
+    monkeypatch.setattr(pallas_raster, "_CHAIN_GROUP_SLOTS", 256)
+    # this synthetic scene has many multi-tile gaussians, so give the upper
+    # tiers full capacity (tier-cap overflow would legitimately drop lanes)
+    img_g, aux = pallas_raster.render_pallas(
+        *args[:4], (h, w), args[4], *args[5:], big_tile_cap=256,
+        return_aux=True,
+    )
+    assert int(aux["num_dropped"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(img_g), np.asarray(img_flat), atol=1e-6
+    )
+
+    # forward-only: differentiating through the grouped path must fail with
+    # a clear error, not silently wrong gradients
+    with pytest.raises(NotImplementedError, match="forward-only"):
+        jax.grad(
+            lambda o: jnp.sum(
+                pallas_raster.render_pallas(
+                    *args[:4], (h, w), args[4], args[5], args[6], args[7], o
+                )
+                ** 2
+            )
+        )(args[8])
