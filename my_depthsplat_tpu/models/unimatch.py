@@ -145,6 +145,19 @@ class MultiViewUniMatch(nn.Module):
         nn_idx: Array | None = None,  # (B, V, k+1) incl self at [..., 0]
         training: bool = False,
     ) -> dict[str, Any]:
+        from ..utils.shapes import assert_shapes
+
+        # runtime seam check (trace-time only): (B, V)-consistent arrays
+        assert_shapes(
+            {
+                "images": (images, ("B", "V", None, None, 3)),
+                "intrinsics": (intrinsics, ("B", "V", 3, 3)),
+                "extrinsics": (extrinsics, ("B", "V", 4, 4)),
+                "min_depth": (min_depth, ("B", "V")),
+                "max_depth": (max_depth, ("B", "V")),
+                "nn_idx": (nn_idx, ("B", "V", None)),
+            }
+        )
         b, v, h, w, _ = images.shape
         if self.sweep_gather_dtype not in ("float32", "bfloat16"):
             raise ValueError(

@@ -94,6 +94,7 @@ def test_pallas_matches_oracle_forward():
     )
 
 
+@pytest.mark.slow
 def test_deep_stack_sticky_termination():
     """Regression: many overlapping high-opacity gaussians spanning several
     256-instance chunks. The termination must be sticky across chunk
@@ -123,6 +124,7 @@ def test_deep_stack_sticky_termination():
     )
 
 
+@pytest.mark.slow
 def test_view_grouped_layout_matches_oracle(monkeypatch):
     """Force the view-grouping path (used when B*G exceeds the fast-scatter
     accumulator size) and check image + gradient parity with the oracle."""
@@ -253,6 +255,7 @@ def test_tile_size_is_output_invariant():
     assert "tile32 parity OK" in r.stdout
 
 
+@pytest.mark.slow
 def test_grouped_chain_matches_flat(monkeypatch):
     """The huge-G depth-grouped chained forward (build_tile_instances_grouped
     + chained _fwd_kernel state) reproduces the flat single-layout composite:
