@@ -132,6 +132,9 @@ def main() -> None:
                     help="just regenerate curve.png from metrics.jsonl")
     ap.add_argument("--tiny-vit", action="store_true",
                     help="shrink the ViT to toy size (CPU smoke tests only)")
+    ap.add_argument("--override", action="append", default=[],
+                    help="extra config dot-overrides, e.g. "
+                         "--override encoder.compute_dtype=bfloat16")
     a = ap.parse_args()
 
     out = a.out
@@ -173,7 +176,7 @@ def main() -> None:
             f"optimizer.total_steps={a.steps}",
             "optimizer.warmup_pct=0.1",
             "loss.lpips_weight=0.0",
-        ])
+        ] + a.override)
         train(cfg)
 
     summary = plot_curves(out / "metrics.jsonl", out / "curve.png")
