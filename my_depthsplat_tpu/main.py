@@ -404,6 +404,27 @@ def _eval_lpips_fn(cfg: RootCfg, state=None):
     return lambda a, b: apply_fn(params, a, b)
 
 
+def _shrink_batch(batch, v_ctx: int = 2, v_tgt: int = 1, hw: int = 64):
+    """Init-sized view of a batch: first ``v`` views, ``hw``-pixel crops."""
+
+    def views(d, v):
+        out = dict(d)
+        for k in ("extrinsics", "intrinsics", "near", "far"):
+            if k in out:
+                out[k] = out[k][:, :v]
+        for k in ("image", "depth"):
+            if k in out:
+                s = out[k].shape
+                out[k] = out[k][:, :v, : min(hw, s[2]), : min(hw, s[3])]
+        return out
+
+    return {
+        **batch,
+        "context": views(batch["context"], v_ctx),
+        "target": views(batch["target"], v_tgt),
+    }
+
+
 def test(cfg: RootCfg) -> None:
     from .eval.runner import run_test
     from .models import EncoderDepthSplat
@@ -420,7 +441,16 @@ def test(cfg: RootCfg) -> None:
                  loss=cfg.loss, optimizer=cfg.optimizer)
     )
     first = next(iter(data_loader(dataset, loader_cfg, "test")))
-    state = init_fn(jax.random.key(0), jax_batch(prepare_batch(cfg, first)))
+    # Initialize on a 2-view 64x64 crop of the first batch: every parameter
+    # in this architecture is input-shape-independent (ViT pos-embeds
+    # interpolate at apply time), and an eager flax init at full test
+    # resolution (e.g. 12 views x 512x960) materializes per-layer
+    # activations without remat — enough to OOM a 16 GB chip before the
+    # jitted forward (which fits) ever runs.
+    state = init_fn(
+        jax.random.key(0),
+        _shrink_batch(jax_batch(prepare_batch(cfg, first))),
+    )
     state = apply_pretrained_slots(cfg, state)
     if cfg.checkpointing.load:
         from .train.checkpoints import resolve_checkpoint_uri
@@ -428,16 +458,23 @@ def test(cfg: RootCfg) -> None:
         state = restore_checkpoint(
             resolve_checkpoint_uri(cfg.checkpointing.load), state
         )
+    # optimizer state is dead weight in test mode (the restore above needed
+    # the full TrainState template); free it before the big forwards
+    state = state.replace(opt_state=None)
     params = state.params
 
     from .models.precision import apply_with_precision
 
-    apply = jax.jit(
-        lambda context: apply_with_precision(
-            encoder.apply, cfg.encoder.compute_dtype, params, context,
+    # params enter as a jit ARGUMENT: a closure would embed all of them as
+    # inline program constants (a ~0.5 GB lowered program for gs-base that
+    # the remote-compile tunnel rejects, plus a host round-trip per leaf)
+    _apply_p = jax.jit(
+        lambda p, context: apply_with_precision(
+            encoder.apply, cfg.encoder.compute_dtype, p, context,
             training=False,
         )
     )
+    apply = lambda context: _apply_p(params, context)
 
     batches = (
         {**b, **jax_batch(prepare_batch(cfg, b))}

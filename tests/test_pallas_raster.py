@@ -288,3 +288,43 @@ def test_grouped_chain_matches_flat(monkeypatch):
                 ** 2
             )
         )(args[8])
+
+
+@pytest.mark.slow
+def test_grouped_chain_batched_views(monkeypatch):
+    """The grouped chain's per-batch-element loop (b > 1): a 2-view batch
+    through the grouped path matches the flat composite per view."""
+    rng = np.random.default_rng(9)
+    b, g, h, w = 2, 400, 32, 32
+    extr = np.broadcast_to(np.eye(4, dtype=np.float32), (b, 4, 4)).copy()
+    extr[:, 0, 3] = 0.1 * np.arange(b)
+    intr = np.broadcast_to(
+        np.array([[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]], np.float32),
+        (b, 3, 3),
+    )
+    means = np.stack(
+        [rng.uniform(-1, 1, (b, g)), rng.uniform(-1, 1, (b, g)),
+         rng.uniform(2, 6, (b, g))], -1,
+    ).astype(np.float32)
+    scales = rng.uniform(0.02, 0.1, (b, g, 3)).astype(np.float32)
+    cov = np.zeros((b, g, 3, 3), np.float32)
+    for i in range(3):
+        cov[..., i, i] = scales[..., i] ** 2
+    sh = (rng.normal(size=(b, g, 3, 9)) * 0.3).astype(np.float32)
+    opac = rng.uniform(0.3, 0.9, (b, g)).astype(np.float32)
+    near = np.ones((b,), np.float32)
+    far = np.full((b,), 100.0, np.float32)
+    bg = np.tile(np.array([[0.2, 0.1, 0.3]], np.float32), (b, 1))
+    args = tuple(map(jnp.asarray, (extr, intr, near, far, bg, means, cov, sh, opac)))
+
+    img_flat = pallas_raster.render_pallas(*args[:4], (h, w), args[4], *args[5:])
+    monkeypatch.setattr(pallas_raster, "_CHAIN_MIN_G", 1)
+    monkeypatch.setattr(pallas_raster, "_CHAIN_GROUP_SLOTS", 128)
+    img_g, aux = pallas_raster.render_pallas(
+        *args[:4], (h, w), args[4], *args[5:], big_tile_cap=128,
+        return_aux=True,
+    )
+    assert int(aux["num_dropped"]) == 0
+    np.testing.assert_allclose(
+        np.asarray(img_g), np.asarray(img_flat), atol=1e-6
+    )

@@ -119,3 +119,62 @@ def test_ring_rejects_indivisible_views():
     with jax.sharding.set_mesh(mesh):
         with pytest.raises(ValueError, match="not divisible"):
             ring_cross_view_attention(q, k, v, "model")
+
+
+def test_encoder_view_sharded_forward_matches_local(monkeypatch):
+    """The pod-slice headline layout (context VIEW axis sharded over the
+    mesh; PERF.md pod-slice projection): the full encoder forward under
+    view sharding must match the unsharded forward — XLA partitions the
+    per-view network and inserts the cross-view collectives (sweep source
+    features, kNN, attention) without changing the math."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_models import tiny_vit
+
+    from my_depthsplat_tpu.models import vit as vit_mod
+
+    monkeypatch.setitem(vit_mod.VIT_CONFIGS, "vits", tiny_vit())
+    monkeypatch.setitem(vit_mod.INTERMEDIATE_LAYER_IDX, "vits", [0, 1, 2, 3])
+
+    from my_depthsplat_tpu.models import EncoderDepthSplat
+    from my_depthsplat_tpu.models.encoder import EncoderDepthSplatCfg
+
+    rng = np.random.default_rng(0)
+    b, v, h, w = 1, 4, 32, 32
+    extr = np.broadcast_to(np.eye(4, dtype=np.float32), (b, v, 4, 4)).copy()
+    for i in range(v):
+        extr[:, i, 0, 3] = 0.15 * i
+    context = {
+        "image": jnp.asarray(
+            rng.uniform(0, 1, (b, v, h, w, 3)).astype(np.float32)
+        ),
+        "extrinsics": jnp.asarray(extr),
+        "intrinsics": jnp.broadcast_to(
+            jnp.asarray(
+                [[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]], jnp.float32
+            ),
+            (b, v, 3, 3),
+        ),
+        "near": jnp.full((b, v), 0.5, jnp.float32),
+        "far": jnp.full((b, v), 100.0, jnp.float32),
+    }
+    cfg = EncoderDepthSplatCfg(
+        num_scales=1, num_depth_candidates=16, costvolume_unet_feat_dim=16,
+        gaussian_regressor_channels=16,
+    )
+    enc = EncoderDepthSplat(cfg)
+    params = enc.init(jax.random.key(0), context, training=False)
+    want = enc.apply(params, context, training=False)["gaussians"].means
+
+    mesh = _mesh(model=4)
+    with jax.sharding.set_mesh(mesh):
+        ctx_s = {
+            k: jax.device_put(x, NamedSharding(mesh, P(None, "model")))
+            for k, x in context.items()
+        }
+        got = jax.jit(
+            lambda p, c: enc.apply(p, c, training=False)["gaussians"].means
+        )(params, ctx_s)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
