@@ -72,10 +72,45 @@ def measure(a: argparse.Namespace) -> dict:
     cfg = build_cfg(a)
     batch = ge._make_batch(b=1, v_ctx=a.views, v_tgt=1, h=a.height, w=a.width)
     encoder = EncoderDepthSplat(cfg)
-    shapes = jax.eval_shape(
-        lambda key: encoder.init(key, batch["context"], training=False),
-        jax.random.key(0),
-    )
+
+    # --spmd-views N: the pod-slice layout (PERF.md pod-slice projection) —
+    # shard the context VIEW axis over an N-device mesh; per-view network
+    # partitions for free, cross-view collectives ride ICI. Validated
+    # numerically by tests/test_parallel_ring.py
+    # ::test_encoder_view_sharded_forward_matches_local.
+    mesh = None
+    if a.spmd_views > 1:
+        import numpy as _np
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        devs = jax.devices()
+        if len(devs) < a.spmd_views:
+            raise SystemExit(
+                f"--spmd-views {a.spmd_views} needs that many devices; "
+                f"found {len(devs)}"
+            )
+        mesh = Mesh(
+            _np.asarray(devs[: a.spmd_views]).reshape(a.spmd_views),
+            ("model",),
+        )
+        vs = NamedSharding(mesh, P(None, "model"))
+        batch["context"] = {
+            k: jax.device_put(x, vs) for k, x in batch["context"].items()
+        }
+
+    import contextlib
+
+    def mesh_ctx():
+        return (
+            jax.sharding.set_mesh(mesh) if mesh is not None
+            else contextlib.nullcontext()
+        )
+
+    with mesh_ctx():
+        shapes = jax.eval_shape(
+            lambda key: encoder.init(key, batch["context"], training=False),
+            jax.random.key(0),
+        )
     host_rng = np.random.default_rng(0)
 
     def mat(s):
@@ -110,20 +145,21 @@ def measure(a: argparse.Namespace) -> dict:
         return dec.color, ovf
 
     f = jax.jit(forward)
-    t0 = time.perf_counter()
-    out, ovf = f(params, batch)
-    jax.block_until_ready(out)
-    compile_s = time.perf_counter() - t0
-    ts = []
-    for _ in range(a.iters):
+    with mesh_ctx():
         t0 = time.perf_counter()
         out, ovf = f(params, batch)
         jax.block_until_ready(out)
-        ts.append(time.perf_counter() - t0)
-    if a.profile:
-        with jax.profiler.trace(a.profile):
+        compile_s = time.perf_counter() - t0
+        ts = []
+        for _ in range(a.iters):
+            t0 = time.perf_counter()
             out, ovf = f(params, batch)
             jax.block_until_ready(out)
+            ts.append(time.perf_counter() - t0)
+        if a.profile:
+            with jax.profiler.trace(a.profile):
+                out, ovf = f(params, batch)
+                jax.block_until_ready(out)
     ms = [round(t * 1e3, 1) for t in ts]
     mpix = a.views * a.height * a.width / 1e6
     return {
@@ -139,6 +175,7 @@ def measure(a: argparse.Namespace) -> dict:
         ),
         "net_dtype": a.net_dtype,
         "encoder_only": a.encoder_only,
+        "spmd_views": a.spmd_views,
         "params_m": round(n_params / 1e6, 1),
         "compile_s": round(compile_s, 1),
         "ms": ms,
@@ -179,6 +216,9 @@ def main() -> None:
     p.add_argument("--encoder-only", action="store_true",
                    help="stop at gaussians (no render) like the reference's "
                         "reconstruction headline")
+    p.add_argument("--spmd-views", type=int, default=1,
+                   help="shard the context view axis over this many devices "
+                        "(the pod-slice layout; needs a multi-chip runtime)")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--matrix", action="store_true",
                    help="run the full precision x sweep-path matrix")
