@@ -455,9 +455,16 @@ def test(cfg: RootCfg) -> None:
     if cfg.checkpointing.load:
         from .train.checkpoints import resolve_checkpoint_uri
 
-        state = restore_checkpoint(
-            resolve_checkpoint_uri(cfg.checkpointing.load), state
-        )
+        ckpt_path = resolve_checkpoint_uri(cfg.checkpointing.load)
+        if ckpt_path.suffix in (".pth", ".pt", ".ckpt", ".bin"):
+            # torch/Lightning checkpoints (including wandb:// artifacts,
+            # whose model.ckpt is the reference's Lightning format) go
+            # through the converter; orbax handles this framework's own dirs
+            state = state.replace(
+                params=load_slot_params(ckpt_path, state, _vit_depth(cfg))
+            )
+        else:
+            state = restore_checkpoint(ckpt_path, state)
     # optimizer state is dead weight in test mode (the restore above needed
     # the full TrainState template); free it before the big forwards
     state = state.replace(opt_state=None)

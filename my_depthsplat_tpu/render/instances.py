@@ -70,7 +70,8 @@ class TileInstances(NamedTuple):
     starts: Array  # (B*n_tiles,) int32 — run starts in the packed array
     counts: Array  # (B*n_tiles,) int32 — live instances per tile
     grid_hw: tuple[int, int]  # (grid_y, grid_x)
-    num_dropped: Array  # () int32 — instances lost to cap/budget
+    num_dropped: Array  # () f32 — instances lost to cap/budget (f32: the
+    # count exceeds int32 in giant-splat regimes)
 
 
 def _to_u16(x: Array) -> Array:
@@ -163,7 +164,13 @@ def build_tile_instances_batched(
     rect_w = sg.rect_max[..., 0] - sg.rect_min[..., 0]  # (B, G)
     rect_h = sg.rect_max[..., 1] - sg.rect_min[..., 1]
     area = rect_w * rect_h
-    num_dropped = jnp.sum(jnp.where(sg.valid, jnp.maximum(area - r, 0), 0))
+    # f32 accumulator: the int32 sum overflows in giant-splat regimes
+    # (5.9M gaussians clipped to a full tile grid exceed 2^31 dropped
+    # candidates) and the diagnostic must stay monotone/readable
+    num_dropped = jnp.sum(
+        jnp.where(sg.valid, jnp.maximum(area - r, 0), 0),
+        dtype=jnp.float32,
+    )
 
     # ---- 1. depth-sort gaussians: one single-key sort over B*G elements
     # (NOT B*G*R). `order[slot]` is the original flat index; `inv_order` is
@@ -520,7 +527,9 @@ def build_tile_instances_grouped(
     rect_w = padg(sg.rect_max[:, 0] - sg.rect_min[:, 0])
     rect_h = padg(sg.rect_max[:, 1] - sg.rect_min[:, 1])
     area = rect_w * rect_h
-    num_dropped = jnp.sum(jnp.where(valid, jnp.maximum(area - r, 0), 0))
+    num_dropped = jnp.sum(
+        jnp.where(valid, jnp.maximum(area - r, 0), 0), dtype=jnp.float32
+    )  # f32: int32 overflows in giant-splat regimes
 
     iota = jnp.arange(gp, dtype=jnp.int32)
     _, order = jax.lax.sort((depth, iota), num_keys=1, is_stable=True)

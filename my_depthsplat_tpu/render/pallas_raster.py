@@ -61,10 +61,11 @@ _SCATTER_ACC_ROWS_FAST = 262_144
 _NPIX = TILE_X * TILE_Y
 # Instances per DMA chunk. The kernels' live VMEM working set scales with
 # NPIX * CHUNK (the wide per-chunk alpha/scan intermediates), so CHUNK
-# shrinks as tile area grows to stay inside the ~16 MB scoped-vmem limit;
-# the floor is the 128-lane DMA alignment (a smaller window could not cover
-# an unaligned run's lead lanes).
-CHUNK = max(_ALIGN, (256 * 256) // _NPIX)
+# shrinks as tile area grows to stay inside the ~16 MB scoped-vmem limit.
+# CHUNK must be a MULTIPLE of the 128-lane DMA alignment: windows start at
+# the aligned floor and advance by CHUNK, so a non-multiple would break the
+# pl.multiple_of claim on every window after the first.
+CHUNK = max(_ALIGN, (256 * 256) // _NPIX // _ALIGN * _ALIGN)
 _OUTC = 8  # r, g, b, t_final, n_contrib, pad, pad, pad
 
 # Set True (e.g. from tests) to run the kernels in the Pallas interpreter on
@@ -628,7 +629,7 @@ _CHAIN_GROUP_SLOTS = 1 << 19
 
 def _render_grouped_impl(static, arrays):
     """Per-view, per-depth-group chained compositing (exact; forward-only)."""
-    (image_shape, use_sh, max_tiles, budget, big_cap, cdt) = static
+    (image_shape, use_sh, max_tiles, budget, big_cap, cdt, group_slots) = static
     extrinsics, intrinsics, fovs, means, cov, sh, opac, background = arrays
     h, w = image_shape
     b = extrinsics.shape[0]
@@ -637,7 +638,7 @@ def _render_grouped_impl(static, arrays):
     from .instances import build_tile_instances_grouped
 
     images = []
-    dropped = jnp.zeros((), jnp.int32)
+    dropped = jnp.zeros((), jnp.float32)
     for i in range(b):
         sg = project_gaussians(
             extrinsics[i], means[i], cov[i], sh[i], opac[i],
@@ -645,7 +646,7 @@ def _render_grouped_impl(static, arrays):
             image_shape, use_sh,
         )
         groups, nd = build_tile_instances_grouped(
-            sg, image_shape, _CHAIN_GROUP_SLOTS, max_tiles, CHUNK,
+            sg, image_shape, group_slots, max_tiles, CHUNK,
             budget, big_cap,
         )
         dropped = dropped + nd
@@ -726,10 +727,18 @@ def render_pallas(
     h, w = image_shape
     fovs = get_fov(intrinsics)  # (B, 2)
 
-    if gaussian_means.shape[1] >= _CHAIN_MIN_G:
+    # Huge-G grouped path: only when the group keys still pack into int32
+    # at this tile grid (huge images shrink the available slot bits; below
+    # 2^14 slots per group the grouping overhead wins and the flat path —
+    # slower but correct at any size — takes over).
+    _gy = (h + TILE_Y - 1) // TILE_Y
+    _gx = (w + TILE_X - 1) // TILE_X
+    _bits_avail = int(jnp.iinfo(jnp.int32).max // (_gy * _gx + 1)).bit_length() - 1
+    if gaussian_means.shape[1] >= _CHAIN_MIN_G and _bits_avail >= 14:
+        group_slots = min(_CHAIN_GROUP_SLOTS, 1 << _bits_avail)
         static = (
             image_shape, use_sh, max_tiles_per_gaussian, instance_budget,
-            big_tile_cap, composite_dtype,
+            big_tile_cap, composite_dtype, group_slots,
         )
         image, dropped = _render_grouped(
             static,
@@ -773,7 +782,7 @@ def render_pallas(
         )
     else:
         packed, gid, starts, counts = [], [], [], []
-        dropped = jnp.zeros((), jnp.int32)
+        dropped = jnp.zeros((), jnp.float32)
         offset = 0
         for v0 in range(0, b, group):
             sg_g = jax.tree.map(lambda x: x[v0 : v0 + group], sg)

@@ -61,11 +61,7 @@ def _depth_only_loss(cfg: TrainCfg, depths: Array, batch) -> tuple[Array, dict]:
     Intermediate predictions get the same gamma^k weighting as the render
     losses (model_wrapper.py:273-341).
     """
-    if "depth" not in batch["context"]:
-        raise ValueError(
-            "encoder.train_depth_only=True requires GT depth in the batch "
-            "(context.depth) — use a dataset that provides it (arkit_scenes)"
-        )
+    # (missing GT depth is rejected earlier, at the loss_fn batch seam)
     gt = batch["context"]["depth"]  # (B, V, hp, wp)
     b = gt.shape[0]
     b_eff = depths.shape[0]

@@ -68,12 +68,7 @@ def main() -> None:
     from my_depthsplat_tpu.models import EncoderDepthSplat
 
     n_dev = N_DEV if a.mode == "depth" else 4
-    cfg = replace(
-        ge._encoder_cfg(tiny=False),
-        num_scales=2,
-        upsample_factor=4,
-        lowest_feature_resolution=8,
-        monodepth_vit_type="vitb",
+    cfg = ge._headline_cfg(
         compute_dtype="bfloat16",
         spmd_depth_axis="model" if a.mode == "depth" else None,
     )

@@ -51,13 +51,7 @@ def build_cfg(a: argparse.Namespace):
         # gs-small: vits, single scale, 1/4 features
         cfg = ge._encoder_cfg(tiny=False)
     else:
-        cfg = replace(
-            ge._encoder_cfg(tiny=False),
-            num_scales=2,
-            upsample_factor=4,
-            lowest_feature_resolution=8,
-            monodepth_vit_type="vitb",
-        )
+        cfg = ge._headline_cfg()
     return replace(
         cfg,
         sweep_gather_dtype=a.sweep_dtype,

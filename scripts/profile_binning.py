@@ -18,7 +18,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from my_depthsplat_tpu.geometry import get_fov
-from my_depthsplat_tpu.render.camera import TILE, scale_invariant_normalization
+from my_depthsplat_tpu.render.camera import (
+    TILE_X,
+    TILE_Y,
+    scale_invariant_normalization,
+)
 from my_depthsplat_tpu.render.projection import project_gaussians
 
 
@@ -78,8 +82,8 @@ def make_sg():
 def stages(sg, image_shape, upto, max_tiles_per_gaussian=16, chunk=256,
            instance_budget=8 * 256 * 256):
     h, w = image_shape
-    grid_x = (w + TILE - 1) // TILE
-    grid_y = (h + TILE - 1) // TILE
+    grid_x = (w + TILE_X - 1) // TILE_X
+    grid_y = (h + TILE_Y - 1) // TILE_Y
     n_tiles = grid_x * grid_y
     b, g = sg.depth.shape
     r = max_tiles_per_gaussian

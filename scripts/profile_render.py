@@ -20,7 +20,8 @@ import numpy as np
 
 from my_depthsplat_tpu.geometry import get_fov
 from my_depthsplat_tpu.render.camera import (
-    TILE,
+    TILE_X,
+    TILE_Y,
     scale_invariant_normalization,
 )
 from my_depthsplat_tpu.render.instances import build_tile_instances_batched
@@ -105,7 +106,7 @@ def main() -> None:
     print(f"  dropped:         {int(inst.num_dropped)}")
     print(f"  total instances: {int(jnp.sum(inst.counts))}")
 
-    gy, gx = (h + TILE - 1) // TILE, (w + TILE - 1) // TILE
+    gy, gx = (h + TILE_Y - 1) // TILE_Y, (w + TILE_X - 1) // TILE_X
     comp = jax.jit(
         lambda p, s, c, b: composite_tiles(p, s, c, b, (n_views, gy, gx))
     )
