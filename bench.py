@@ -1,17 +1,25 @@
 """Benchmark: differentiable-rasterizer throughput on the local accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric: {"metric", "value", "unit", "vs_baseline"}.
 
-Measures rendered Mpix/s/chip INCLUDING the backward pass (value-and-grad of a
-scalar loss through the renderer) at re10k-like geometry: 2 context views of
-256x256 -> 131k gaussians, rendered to 256x256 targets. This matches
-BASELINE.json's north-star metric ("Rendered Mpix/s/chip ... bwd incl.").
+Line 1 measures rendered Mpix/s/chip INCLUDING the backward pass
+(value-and-grad of a scalar loss through the renderer) at re10k-like
+geometry: 2 context views of 256x256 -> 131k gaussians, rendered to 256x256
+targets. This matches BASELINE.json's north-star metric ("Rendered
+Mpix/s/chip ... bwd incl.").
 
-vs_baseline: the reference's headline is 0.6 s end-to-end for 12 views at
-512x960 on one A100 (README.md:105), which is 12*512*960/0.6 = 9.83 Mpix/s
-end-to-end. We conservatively attribute half that time to rendering fwd+bwd is
-not reported; instead we use the full end-to-end figure (9.83 Mpix/s) as the
-baseline denominator so vs_baseline is understated rather than flattered.
+vs_baseline for line 1: the reference's headline is 0.6 s end-to-end for 12
+views at 512x960 on one A100 (README.md:105), which is 12*512*960/0.6 =
+9.83 Mpix/s end-to-end. The reference does not report how that time splits
+between rendering and the network, so we use the full end-to-end figure as
+the baseline denominator — vs_baseline is understated rather than flattered
+(the numerator here also carries a backward pass the A100 number does not).
+
+Line 2 (TPU only) runs the actual headline workload end-to-end: 12 context
+views @ 512x960 through the gs-base encoder (bf16 network precision,
+configs/re10k_720p_fast.yaml) to 5.9M gaussians, then one 512x960 target
+render. value = milliseconds; vs_baseline = 600 ms / value (>1 beats the
+A100). Recipe pinned in scripts/headline_bench.py.
 """
 
 from __future__ import annotations
@@ -102,7 +110,47 @@ def main() -> None:
                 "unit": "Mpix/s",
                 "vs_baseline": round(mpix_per_s / BASELINE_MPIX_S, 4),
             }
-        )
+        ),
+        flush=True,
+    )
+
+    if _jax.default_backend() == "tpu":
+        try:
+            _headline()
+        except Exception as e:  # never lose the primary metric line
+            import sys
+
+            print(f"headline bench failed: {e!r}", file=sys.stderr)
+
+
+def _headline() -> None:
+    """Second metric line: the 12-view 512x960 end-to-end headline
+    (images -> gaussians -> one target render), shipped fast recipe."""
+    import argparse
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
+    import headline_bench
+
+    a = argparse.Namespace(
+        views=12, height=512, width=960, model="base",
+        sweep_dtype="float32", sweep_mode="gather", window=6,
+        window_groups_scale0=16, net_dtype="bfloat16", encoder_only=False,
+        spmd_views=1, iters=2, profile=None,
+    )
+    r = headline_bench.measure(a)
+    ms = r["ms_min"]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_12view_512x960_e2e_ms",
+                "value": ms,
+                "unit": "ms",
+                "vs_baseline": round(600.0 / ms, 4),
+            }
+        ),
+        flush=True,
     )
 
 

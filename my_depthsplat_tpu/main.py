@@ -147,6 +147,27 @@ def build_parallel(cfg: RootCfg, devices=None):
     return mesh, encoder_cfg, render_sharding
 
 
+def _warn_window_overflow(logs: dict, gstep: int, warned: bool) -> bool:
+    """Loud one-shot warning on the first nonzero sweep/window_overflow.
+
+    A too-narrow sweep window silently degrades cost volumes; eval RAISES
+    on this (eval/runner.py), training must at least shout. Returns the
+    updated warned flag."""
+    if warned:
+        return True
+    ovf = float(logs.get("sweep/window_overflow", 0.0))
+    if ovf > 0:
+        print(
+            f"WARNING: sweep/window_overflow={ovf:.0f} at step {gstep} — "
+            "the window-mode plane sweep is DROPPING taps; cost volumes "
+            "are degraded. Raise encoder.sweep_window (or use "
+            "sweep_mode='gather').",
+            flush=True,
+        )
+        return True
+    return False
+
+
 def train(cfg: RootCfg) -> None:
     out_dir = Path(cfg.output_dir)
     out_dir.mkdir(exist_ok=True, parents=True)
@@ -224,6 +245,7 @@ def train(cfg: RootCfg) -> None:
     )
     log_every = cfg.trainer.print_log_every_n_steps
     last_saved_step = -1
+    warned_overflow = False
     t_last = time.time()
     for step_idx, batch in enumerate(loader):
         batch = prepare_batch(cfg, batch)
@@ -249,6 +271,9 @@ def train(cfg: RootCfg) -> None:
             t_last = time.time()
             msg = ", ".join(f"{k}={float(v):.4f}" for k, v in sorted(logs.items()))
             print(f"step {gstep}: {msg} ({dt:.3f}s/it)", flush=True)
+            warned_overflow = _warn_window_overflow(
+                logs, gstep, warned_overflow
+            )
             if logger is not None:
                 logger.log_scalars(gstep, {**logs, "perf/s_per_it": dt})
         if gstep % cfg.trainer.val_check_interval == 0:

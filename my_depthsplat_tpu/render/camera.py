@@ -23,8 +23,31 @@ from jax import Array
 # Env-overridable for experiments (MDS_TILE, or MDS_TILE_X/MDS_TILE_Y for
 # rectangular tiles); the default 16x16 matches the CUDA reference and the
 # measured v5e optimum (PERF.md round-4 tile-size table).
-TILE_X = int(os.environ.get("MDS_TILE_X", os.environ.get("MDS_TILE", "16")))
-TILE_Y = int(os.environ.get("MDS_TILE_Y", os.environ.get("MDS_TILE", "16")))
+def _parse_tile(name: str, fallback: str) -> int:
+    raw = os.environ.get(name, os.environ.get("MDS_TILE", fallback))
+    try:
+        v = int(raw)
+    except ValueError as e:
+        raise ValueError(f"{name}={raw!r} is not an integer") from e
+    # The composite kernel's pixel lanes are TILE_X*TILE_Y wide; Mosaic
+    # needs that to be a multiple of the 8x128 vreg (and the CHUNK floor in
+    # pallas_raster assumes it). 16x16 and 32x32 are the measured/tested
+    # set; other multiple-of-8 values in [8, 64] trace but are unvalidated.
+    if v < 8 or v > 64 or v % 8 != 0:
+        raise ValueError(
+            f"{name}={v} unsupported: tile sides must be multiples of 8 in "
+            "[8, 64] (16x16 is the measured v5e optimum; 32x32 also tested)"
+        )
+    return v
+
+
+TILE_X = _parse_tile("MDS_TILE_X", "16")
+TILE_Y = _parse_tile("MDS_TILE_Y", "16")
+if TILE_X * TILE_Y % 128 != 0:
+    raise ValueError(
+        f"MDS_TILE_X*MDS_TILE_Y = {TILE_X}*{TILE_Y} = {TILE_X * TILE_Y} "
+        "must be a multiple of the 128-lane vreg width"
+    )
 TILE = TILE_X  # legacy alias for square-tile dev scripts
 # Low-pass dilation added to the projected 2D covariance diagonal.
 COV2D_DILATION = 0.3

@@ -173,6 +173,10 @@ def _fwd_kernel(
     # (the huge-G grouped forward path): init_ref carries the previous
     # groups' [rgb, t_frozen, n_contrib, p_raw] per pixel, and the
     # background is composited only by the final group (add_bg).
+    # NOTE: in chained mode the n_contrib channel (out channel 4) is the max
+    # over groups of the group-LOCAL 1-based run position, NOT the global
+    # contributor index the flat path reports — the grouped path only
+    # consumes rgb/t_frozen/p_raw, so channel 4 is diagnostic-only there.
     if chained:
         init_ref, out_ref, data_vmem, sem = rest
     else:

@@ -148,12 +148,19 @@ def resolve_checkpoint_uri(
     api = wandb.Api()
     run = api.run(f"{project}/{run_id}")
     chosen = None
+    def _version_num(a) -> int | None:
+        v = getattr(a, "version", "") or ""
+        return int(v[1:]) if re.fullmatch(r"v\d+", v) else None
+
     for artifact in run.logged_artifacts():
         if artifact.type != "model" or artifact.state != "COMMITTED":
             continue
         if not version:
-            if chosen is None or int(artifact.version[1:]) > int(
-                chosen.version[1:]
+            # pick the highest vN version; artifacts with alias-style
+            # versions (not "vN") are skipped rather than crashing the parse
+            n = _version_num(artifact)
+            if n is not None and (
+                chosen is None or n > (_version_num(chosen) or -1)
             ):
                 chosen = artifact
         elif version == artifact.version:
@@ -167,7 +174,14 @@ def resolve_checkpoint_uri(
     root = Path(download_dir) / run_id
     root.mkdir(exist_ok=True, parents=True)
     chosen.download(root=root)
-    return root / "model.ckpt"
+    ckpt_path = root / "model.ckpt"
+    if not ckpt_path.exists():
+        files = sorted(q.name for q in root.rglob("*") if q.is_file())
+        raise FileNotFoundError(
+            f"wandb artifact {chosen.name} downloaded to {root} does not "
+            f"contain model.ckpt; files present: {files}"
+        )
+    return ckpt_path
 
 
 def load_slot_params(path: str | Path, state: Any, vit_depth: int) -> Any:
@@ -189,7 +203,10 @@ def load_slot_params(path: str | Path, state: Any, vit_depth: int) -> Any:
 
         from ..convert.depthsplat_ckpt import convert_encoder_checkpoint
 
-        sd = torch.load(p, map_location="cpu", weights_only=False)
+        # weights_only=True: Lightning checkpoints are plain tensor dicts,
+        # and this path also receives auto-downloaded wandb:// artifacts —
+        # never execute pickled code from a remotely-fetched file.
+        sd = torch.load(p, map_location="cpu", weights_only=True)
         if isinstance(sd, dict) and "state_dict" in sd:
             sd = sd["state_dict"]
         return convert_encoder_checkpoint(sd, state.params, vit_depth)

@@ -362,3 +362,22 @@ def test_cli_lpips_wiring(tmp_path, monkeypatch):
         (tmp_path / "out" / "test" / "scores_all_avg.json").read_text()
     )
     assert "lpips" in scores and np.isfinite(scores["lpips"])
+
+
+# ----------------------------------------------------- overflow warning
+def test_window_overflow_warning_one_shot(capsys):
+    """First nonzero sweep/window_overflow prints a loud warning, once."""
+    from my_depthsplat_tpu.main import _warn_window_overflow
+
+    # zero / absent: no warning
+    assert _warn_window_overflow({}, 0, False) is False
+    assert _warn_window_overflow({"sweep/window_overflow": 0.0}, 1, False) is False
+    assert capsys.readouterr().out == ""
+    # first nonzero: loud warning
+    warned = _warn_window_overflow({"sweep/window_overflow": 42.0}, 2, False)
+    assert warned is True
+    out = capsys.readouterr().out
+    assert "WARNING" in out and "DROPPING" in out and "42" in out
+    # already warned: silent
+    assert _warn_window_overflow({"sweep/window_overflow": 99.0}, 3, True) is True
+    assert capsys.readouterr().out == ""
