@@ -480,8 +480,9 @@ def build_tile_instances_grouped(
     instance_budget: int | None = None,
     big_tile_cap: int | None = None,
     tier1_tiles: int = 2,
+    with_aux: bool = False,
 ):
-    """Depth-grouped layouts for the huge-G FORWARD path (no grad support).
+    """Depth-grouped layouts for the huge-G render path.
 
     At multi-million gaussian counts the single flat layout leaves the
     measured fast regimes twice over: the (tile, slot) key no longer packs
@@ -499,7 +500,10 @@ def build_tile_instances_grouped(
 
     Returns (groups, num_dropped) where groups is a list of TileInstances
     with per-group packed arrays and LOCAL starts/counts over the same
-    (grid_y, grid_x) tile grid.
+    (grid_y, grid_x) tile grid. with_aux=True additionally returns the
+    layout internals the grouped BACKWARD needs (render/pallas_raster.py
+    _render_grouped_bwd): {"order": global depth permutation (Gp,),
+    "slot_safe": per-group lane->group-slot index arrays, "gp": padded G}.
     """
     h, w = image_shape
     grid_x = (w + TILE_X - 1) // TILE_X
@@ -581,6 +585,7 @@ def build_tile_instances_grouped(
     slot_mask = (1 << slot_bits) - 1
     budget_g = None if instance_budget is None else -(-instance_budget // n_groups)
     groups = []
+    aux_slots = []
     for gi in range(n_groups):
         sub = table_s[:, gi * s : (gi + 1) * s]
         rect_g = sub[:6]
@@ -667,8 +672,11 @@ def build_tile_instances_grouped(
         num_dropped = num_dropped + jnp.sum(counts - counts_kept)
 
         slot_safe = jnp.where(lane_dead, 0, slot_prefix)
-        gathered = rows_slot_u16[:, slot_safe]  # (18, L) — no VJP: the
-        # grouped path is forward-only
+        aux_slots.append(slot_safe)
+        # plain u16 gather, no VJP here: the grouped render's custom VJP
+        # (_render_grouped_bwd) reduces lane gradients to group-slot space
+        # manually, with a cache-resident per-group scatter accumulator
+        gathered = rows_slot_u16[:, slot_safe]  # (18, L)
         packed = jnp.concatenate(
             [
                 _from_u16_pair(
@@ -690,6 +698,10 @@ def build_tile_instances_grouped(
                 num_dropped=jnp.zeros((), jnp.int32),
             )
         )
+    if with_aux:
+        return groups, num_dropped, {
+            "order": order, "slot_safe": aux_slots, "gp": gp,
+        }
     return groups, num_dropped
 
 

@@ -173,10 +173,13 @@ def _fwd_kernel(
     # (the huge-G grouped forward path): init_ref carries the previous
     # groups' [rgb, t_frozen, n_contrib, p_raw] per pixel, and the
     # background is composited only by the final group (add_bg).
-    # NOTE: in chained mode the n_contrib channel (out channel 4) is the max
-    # over groups of the group-LOCAL 1-based run position, NOT the global
-    # contributor index the flat path reports — the grouped path only
-    # consumes rgb/t_frozen/p_raw, so channel 4 is diagnostic-only there.
+    # NOTE: in chained mode the n_contrib channel (out channel 4) is the
+    # group-LOCAL 1-based last-contributor position within THIS group's run
+    # (it resets per group rather than accumulating), NOT the global
+    # contributor index the flat path reports. The grouped backward depends
+    # on exactly this local value (its per-group masking is positional
+    # within the group's run); for image consumers the channel is
+    # diagnostic-only in chained mode.
     if chained:
         init_ref, out_ref, data_vmem, sem = rest
     else:
@@ -282,7 +285,7 @@ def _fwd_kernel(
             st[:, 5:6],  # p_raw (running raw product, sticky termination)
             st[:, 3:4],  # t_frozen
             st[:, 0:3],  # rgb (no background yet)
-            st[:, 4:5],  # n_contrib
+            jnp.zeros((_NPIX, 1), jnp.float32),  # n_contrib: group-LOCAL
         )
     else:
         init = (
@@ -324,16 +327,24 @@ def _bwd_kernel(
     fwd_ref,  # (1, 1, NPIX, OUTC) block — forward outputs (T_final, n_contrib)
     cot_ref,  # (1, 1, NPIX, OUTC) block — output cotangent (g_img in [:3])
     zeros_ref,  # ANY — aliased into dpacked (zero init); not read
-    dpacked_ref,  # (PACKED_ROWS, L) in HBM/ANY — output
-    data_vmem,  # scratch (2, PACKED_ROWS, CHUNK) — double-buffered reads
-    dout_vmem,  # scratch (2, PACKED_ROWS, CHUNK) — pipelined writes
-    dprev_vmem,  # scratch (PACKED_ROWS, CHUNK) — RMW read of existing grads
-    sem_in,  # (2,)
-    sem_out,  # (2,)
-    sem_prev,
-    *,
+    *rest,  # [carry_in_ref], dpacked_ref, [carry_out_ref], scratches...
     cdt=jnp.float32,
+    chained=False,
 ):
+    # chained=True runs ONE depth group of the huge-G grouped render's
+    # backward: the (ta, g_dot_ra) recurrences that the flat kernel threads
+    # across chunks extend across group launches processed in REVERSE depth
+    # order. carry_in channels [0]=ta (transmittance after this group's
+    # last included lane), [1]=g_dot_ra (cotangent . color behind); the
+    # final loop carry is emitted through carry_out to seed the previous
+    # (nearer) group. fwd_ref must be the state AFTER this group, whose
+    # channel 4 is the group-LOCAL n_contrib (see _fwd_kernel).
+    if chained:
+        (carry_in_ref, dpacked_ref, carry_out_ref,
+         data_vmem, dout_vmem, dprev_vmem, sem_in, sem_out, sem_prev) = rest
+    else:
+        (dpacked_ref, data_vmem, dout_vmem, dprev_vmem,
+         sem_in, sem_out, sem_prev) = rest
     bb = pl.program_id(0)
     ty = pl.program_id(1)
     tx = pl.program_id(2)
@@ -354,8 +365,16 @@ def _bwd_kernel(
         [bg_ref[bb * 3 + 0], bg_ref[bb * 3 + 1], bg_ref[bb * 3 + 2]]
     )[None, :]
 
-    # dL/dT_final from the background term seeds the "color behind" carry.
-    g_dot_ra0 = jnp.sum(g_img * bg, axis=1, keepdims=True) * t_final  # (NPIX,1)
+    if chained:
+        # seeds arrive from the NEXT (farther) group's backward — or, for
+        # the final group, computed by the caller (t_frozen + bg term)
+        ci = carry_in_ref[0, 0, 0, :, :]
+        ta0 = ci[:, 0:1]
+        g_dot_ra0 = ci[:, 1:2]
+    else:
+        ta0 = t_final
+        # dL/dT_final from the background term seeds the "color behind" carry.
+        g_dot_ra0 = jnp.sum(g_img * bg, axis=1, keepdims=True) * t_final
 
     # Chunks past the tile's last contributor carry zero gradient; the output
     # is zero-initialized via input aliasing, so they can be skipped entirely.
@@ -497,7 +516,14 @@ def _bwd_kernel(
         g_dot_ra_new = g_dot_ra + s[:, 0:1]
         return ta_new, g_dot_ra_new
 
-    jax.lax.fori_loop(0, n_chunks, body, (t_final, g_dot_ra0))
+    ta_fin, gdr_fin = jax.lax.fori_loop(0, n_chunks, body, (ta0, g_dot_ra0))
+
+    if chained:
+        carry_out_ref[0, 0, 0, :, 0:1] = ta_fin
+        carry_out_ref[0, 0, 0, :, 1:2] = gdr_fin
+        carry_out_ref[0, 0, 0, :, 2:_OUTC] = jnp.zeros(
+            (_NPIX, _OUTC - 2), jnp.float32
+        )
 
     # drain the (up to two) out-copies still in flight after the last chunk
     @pl.when(n_chunks >= 2)
@@ -549,19 +575,39 @@ def _composite_fwd_impl(packed, starts, counts, background, grid_hw, cdt_name,
 
 
 def _composite_bwd_impl(
-    packed, starts, counts, background, grid_hw, fwd_out, cot, cdt_name
+    packed, starts, counts, background, grid_hw, fwd_out, cot, cdt_name,
+    carry_in=None,
 ):
+    """carry_in (tile-major (B, gy, gx, NPIX, OUTC), channels [ta, g_dot_ra])
+    switches on chained mode: returns (d_packed, carry_out) for one depth
+    group of the grouped render's reverse walk."""
     b, gy, gx = grid_hw
+    chained = carry_in is not None
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        _tile_spec(),
+        _tile_spec(),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    args = [packed, fwd_out, cot]
+    zeros = jnp.zeros(packed.shape, jnp.float32)
+    args.append(zeros)
+    if chained:
+        in_specs.append(_tile_spec())
+        args.append(carry_in)
+        out_specs = (pl.BlockSpec(memory_space=pl.ANY), _tile_spec())
+        out_shape = (
+            jax.ShapeDtypeStruct(packed.shape, jnp.float32),
+            jax.ShapeDtypeStruct((b, gy, gx, _NPIX, _OUTC), jnp.float32),
+        )
+    else:
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
+        out_shape = jax.ShapeDtypeStruct(packed.shape, jnp.float32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(b, gy, gx),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            _tile_spec(),
-            _tile_spec(),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        in_specs=in_specs,
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, PACKED_ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((2, PACKED_ROWS, CHUNK), jnp.float32),
@@ -571,16 +617,17 @@ def _composite_bwd_impl(
             pltpu.SemaphoreType.DMA(()),
         ],
     )
-    zeros = jnp.zeros(packed.shape, jnp.float32)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, cdt=jnp.dtype(cdt_name).type),
+        functools.partial(
+            _bwd_kernel, cdt=jnp.dtype(cdt_name).type, chained=chained
+        ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(packed.shape, jnp.float32),
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=INTERPRET,
         input_output_aliases={6: 0},  # zeros buffer -> d_packed
     )(starts.reshape(-1), counts.reshape(-1), background.reshape(-1),
-      packed, fwd_out, cot, zeros)
+      *args)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -622,17 +669,23 @@ def _composite_fwd_real(packed, starts, counts, background, grid_hw,
 composite_tiles.defvjp(_composite_fwd_real, _composite_bwd_real)
 
 
-# Huge-G forward path: above this per-view gaussian count the flat layout
-# leaves both measured fast regimes (int32 sort keys + cache-resident pack
-# tables; see build_tile_instances_grouped), so the render switches to
-# depth-grouped chained compositing. Forward/eval only — training batches
-# stay far below this.
+# Huge-G path: above this per-view gaussian count the flat layout leaves
+# both measured fast regimes (int32 sort keys + cache-resident pack tables;
+# see build_tile_instances_grouped), so the render switches to depth-grouped
+# chained compositing. Differentiable: the custom VJP walks groups in
+# reverse depth order with carried (ta, g_dot_ra) state, so high-res
+# training (e.g. 12-view 512x960 fine-tuning) backpropagates at any
+# gaussian count, matching the CUDA reference.
 _CHAIN_MIN_G = 1 << 21
-_CHAIN_GROUP_SLOTS = 1 << 19
+# 2^18 slots/group keeps each group's (18, s) u16 pack table at 9.4 MB —
+# inside the ~16 MB cache — where the pack gather runs at 2.47 ns/index vs
+# 11.27 at 2^19 (18.9 MB, just over): measured r5, scripts/
+# profile_gather_huge.py; worth ~143 ms on the 5.9M-gaussian headline.
+_CHAIN_GROUP_SLOTS = 1 << 18
 
 
 def _render_grouped_impl(static, arrays):
-    """Per-view, per-depth-group chained compositing (exact; forward-only)."""
+    """Per-view, per-depth-group chained compositing."""
     (image_shape, use_sh, max_tiles, budget, big_cap, cdt, group_slots) = static
     extrinsics, intrinsics, fovs, means, cov, sh, opac, background = arrays
     h, w = image_shape
@@ -677,15 +730,160 @@ def _render_grouped(static, arrays):
 
 
 def _render_grouped_fwd(static, arrays):
-    return _render_grouped_impl(static, arrays), None
+    # residuals = the inputs: the backward REPLAYS projection + group build
+    # + chained forward (rematerialization) so peak memory stays at one
+    # view's layout instead of every view's saved instances
+    return _render_grouped_impl(static, arrays), arrays
 
 
-def _render_grouped_bwd(static, res, g):
-    raise NotImplementedError(
-        "the huge-G grouped render path is forward-only (eval/inference); "
-        f"differentiate renders with fewer than {_CHAIN_MIN_G} gaussians "
-        "per view"
+def _render_grouped_bwd(static, arrays, cot):
+    """Reverse-order chained VJP over depth groups.
+
+    The flat backward's per-chunk (ta, g_dot_ra) recurrences extend across
+    group boundaries: groups partition the depth order, so walking groups
+    farthest-first with the carries threaded through the chained _bwd_kernel
+    reproduces the flat gradient (the CUDA backward at any gaussian count,
+    cuda_splatting.py:112-123 / the rasterizer's backward kernels). Each
+    group's lane gradients reduce into a cache-resident (9, group_slots)
+    slot accumulator — the scatter stays in the measured fast regime by
+    construction — then one exact u16 permutation gather returns them to
+    gaussian order and the projection VJP routes them to
+    means/cov/sh/opacity (and extrinsics/fovs). Discrete layout structure
+    (depth sort, tile binning, culling) is non-differentiable, exactly like
+    the flat path.
+    """
+    (image_shape, use_sh, max_tiles, budget, big_cap, cdt, group_slots) = static
+    extrinsics, intrinsics, fovs, means, cov, sh, opac, background = arrays
+    g_image = cot[0]  # (B, H, W, 3); cot[1] (num_dropped) has no gradient
+    h, w = image_shape
+    b = extrinsics.shape[0]
+    gy, gx = (h + TILE_Y - 1) // TILE_Y, (w + TILE_X - 1) // TILE_X
+    g_count = means.shape[1]
+
+    from .instances import (
+        _N_DATA_ROWS,
+        _from_u16,
+        _to_u16,
+        build_tile_instances_grouped,
     )
+
+    d_extr, d_fovs = [], []
+    d_means, d_cov, d_sh, d_opac, d_bg = [], [], [], [], []
+    for i in range(b):
+        tanx = jnp.tan(0.5 * fovs[i, 0])
+        tany = jnp.tan(0.5 * fovs[i, 1])
+        sg = project_gaussians(
+            extrinsics[i], means[i], cov[i], sh[i], opac[i],
+            tanx, tany, image_shape, use_sh,
+        )
+        groups, _nd, aux = build_tile_instances_grouped(
+            sg, image_shape, group_slots, max_tiles, CHUNK, budget, big_cap,
+            with_aux=True,
+        )
+        # replay the chained forward, saving the state AFTER each group
+        # (channel 4 = that group's LOCAL n_contrib — the per-group
+        # backward's positional mask)
+        state = jnp.zeros((1, gy, gx, _NPIX, _OUTC), jnp.float32)
+        state = state.at[..., 3].set(1.0).at[..., 5].set(1.0)
+        bg_i = background[i : i + 1]
+        states = []
+        for k, inst in enumerate(groups):
+            state = _composite_fwd_impl(
+                inst.packed, inst.starts, inst.counts, bg_i, (1, gy, gx),
+                cdt, init=state, add_bg=(k == len(groups) - 1),
+            )
+            states.append(state)
+        final = states[-1]
+        t_final = final[..., 3:4]  # (1, gy, gx, NPIX, 1)
+
+        # image cotangent -> tile-major layout (inverse of the assembly;
+        # crop padding gets zero cotangent)
+        gpad = jnp.zeros((gy * TILE_Y, gx * TILE_X, 3), jnp.float32)
+        gpad = gpad.at[:h, :w].set(g_image[i])
+        g_t = gpad.reshape(gy, TILE_Y, gx, TILE_X, 3).transpose(
+            0, 2, 1, 3, 4
+        ).reshape(1, gy, gx, _NPIX, 3)
+        cot_tile = jnp.concatenate(
+            [g_t, jnp.zeros((1, gy, gx, _NPIX, _OUTC - 3), jnp.float32)],
+            axis=-1,
+        )
+        d_bg.append(jnp.sum(g_t * t_final, axis=(0, 1, 2, 3)))
+
+        # seeds for the farthest group: ta = frozen final transmittance,
+        # g_dot_ra = the background term (composited once, after all groups)
+        gdr0 = (
+            jnp.sum(
+                g_t * bg_i[0][None, None, None, None, :],
+                axis=-1, keepdims=True,
+            )
+            * t_final
+        )
+        carry = jnp.concatenate(
+            [
+                t_final, gdr0,
+                jnp.zeros((1, gy, gx, _NPIX, _OUTC - 2), jnp.float32),
+            ],
+            axis=-1,
+        )
+        d_slot_parts: list = [None] * len(groups)
+        for k in reversed(range(len(groups))):
+            inst = groups[k]
+            d_packed, carry = _composite_bwd_impl(
+                inst.packed, inst.starts, inst.counts, bg_i, (1, gy, gx),
+                states[k], cot_tile, cdt, carry_in=carry,
+            )
+            d_slot_parts[k] = (
+                jnp.zeros((_N_DATA_ROWS, group_slots), jnp.float32)
+                .at[:, aux["slot_safe"][k]]
+                .add(d_packed[:_N_DATA_ROWS])
+            )
+        # groups are contiguous slices of global slot space: concatenate,
+        # then ONE exact u16 permutation gather back to gaussian order
+        d_slot_all = jnp.concatenate(d_slot_parts, axis=1)  # (9, Gp)
+        iota = jnp.arange(aux["gp"], dtype=jnp.int32)
+        _, inv_order = jax.lax.sort(
+            (aux["order"], iota), num_keys=1, is_stable=True
+        )
+        d_rows = _from_u16(_to_u16(d_slot_all)[:, inv_order])[:, :g_count]
+
+        def proj_diff(e, fv, m, c, s_, o):
+            sgd = project_gaussians(
+                e, m, c, s_, o,
+                jnp.tan(0.5 * fv[0]), jnp.tan(0.5 * fv[1]),
+                image_shape, use_sh,
+            )
+            return sgd.xy, sgd.conic, sgd.color, sgd.opacity
+
+        _, vjp_fn = jax.vjp(
+            proj_diff, extrinsics[i], fovs[i], means[i], cov[i], sh[i],
+            opac[i],
+        )
+        de, dfv, dm, dc, ds_, do = vjp_fn(
+            (
+                jnp.stack([d_rows[0], d_rows[1]], axis=-1),
+                jnp.stack([d_rows[2], d_rows[3], d_rows[4]], axis=-1),
+                jnp.stack([d_rows[6], d_rows[7], d_rows[8]], axis=-1),
+                d_rows[5],
+            )
+        )
+        d_extr.append(de)
+        d_fovs.append(dfv)
+        d_means.append(dm)
+        d_cov.append(dc)
+        d_sh.append(ds_)
+        d_opac.append(do)
+
+    d_arrays = (
+        jnp.stack(d_extr),
+        jnp.zeros_like(intrinsics),
+        jnp.stack(d_fovs),
+        jnp.stack(d_means),
+        jnp.stack(d_cov),
+        jnp.stack(d_sh),
+        jnp.stack(d_opac),
+        jnp.stack(d_bg),
+    )
+    return (d_arrays,)
 
 
 _render_grouped.defvjp(_render_grouped_fwd, _render_grouped_bwd)

@@ -28,7 +28,7 @@ def load_lpips_params(path: str | Path) -> Any:
 
         from ..convert.torch_weights import convert_lpips
 
-        sd = torch.load(p, map_location="cpu", weights_only=False)
+        sd = torch.load(p, map_location="cpu", weights_only=True)
         if isinstance(sd, dict) and "state_dict" in sd:
             sd = sd["state_dict"]
         return convert_lpips(sd)

@@ -52,7 +52,7 @@ def build_cfg(a: argparse.Namespace):
         cfg = ge._encoder_cfg(tiny=False)
     else:
         cfg = ge._headline_cfg()
-    return replace(
+    cfg = replace(
         cfg,
         sweep_gather_dtype=a.sweep_dtype,
         sweep_mode=a.sweep_mode,
@@ -60,6 +60,15 @@ def build_cfg(a: argparse.Namespace):
         sweep_window_groups_scale0=a.window_groups_scale0,
         compute_dtype=a.net_dtype,
     )
+    if getattr(a, "spmd_depth", 1) > 1:
+        # composed pod-slice layout: explicit named axes so the sweep's
+        # depth-hypothesis sharding constraints land on the "depth" axis
+        cfg = replace(
+            cfg,
+            spmd_view_axis="view" if a.spmd_views > 1 else None,
+            spmd_depth_axis="depth",
+        )
+    return cfg
 
 
 def measure(a: argparse.Namespace) -> dict:
@@ -73,21 +82,37 @@ def measure(a: argparse.Namespace) -> dict:
     # numerically by tests/test_parallel_ring.py
     # ::test_encoder_view_sharded_forward_matches_local.
     mesh = None
-    if a.spmd_views > 1:
+    spmd_depth = getattr(a, "spmd_depth", 1)
+    if a.spmd_views > 1 or spmd_depth > 1:
         import numpy as _np
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
         devs = jax.devices()
-        if len(devs) < a.spmd_views:
+        n_need = max(a.spmd_views, 1) * max(spmd_depth, 1)
+        if len(devs) < n_need:
             raise SystemExit(
-                f"--spmd-views {a.spmd_views} needs that many devices; "
-                f"found {len(devs)}"
+                f"--spmd-views {a.spmd_views} x --spmd-depth {spmd_depth} "
+                f"needs {n_need} devices; found {len(devs)}"
             )
-        mesh = Mesh(
-            _np.asarray(devs[: a.spmd_views]).reshape(a.spmd_views),
-            ("model",),
+        if spmd_depth > 1:
+            # composed (views x depth) pod-slice layout — the 8-chip
+            # projection's mesh (PERF.md pod-slice section)
+            mesh = Mesh(
+                _np.asarray(devs[:n_need]).reshape(
+                    max(a.spmd_views, 1), spmd_depth
+                ),
+                ("view", "depth"),
+            )
+            view_axis = "view"
+        else:
+            mesh = Mesh(
+                _np.asarray(devs[: a.spmd_views]).reshape(a.spmd_views),
+                ("model",),
+            )
+            view_axis = "model"
+        vs = NamedSharding(
+            mesh, P(None, view_axis) if a.spmd_views > 1 else P()
         )
-        vs = NamedSharding(mesh, P(None, "model"))
         batch["context"] = {
             k: jax.device_put(x, vs) for k, x in batch["context"].items()
         }
@@ -170,6 +195,7 @@ def measure(a: argparse.Namespace) -> dict:
         "net_dtype": a.net_dtype,
         "encoder_only": a.encoder_only,
         "spmd_views": a.spmd_views,
+        "spmd_depth": getattr(a, "spmd_depth", 1),
         "params_m": round(n_params / 1e6, 1),
         "compile_s": round(compile_s, 1),
         "ms": ms,
@@ -213,6 +239,10 @@ def main() -> None:
     p.add_argument("--spmd-views", type=int, default=1,
                    help="shard the context view axis over this many devices "
                         "(the pod-slice layout; needs a multi-chip runtime)")
+    p.add_argument("--spmd-depth", type=int, default=1,
+                   help="also shard plane-sweep depth hypotheses over this "
+                        "many devices (composed views x depth mesh — the "
+                        "8-chip projection's layout)")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--matrix", action="store_true",
                    help="run the full precision x sweep-path matrix")

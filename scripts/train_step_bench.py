@@ -49,9 +49,13 @@ def main() -> None:
         state, logs = step(state, batch)
     jax.block_until_ready(logs["loss/total"])
     dt = (time.perf_counter() - t0) / iters
+    mem = jax.local_devices()[0].memory_stats() or {}
+    peak = mem.get("peak_bytes_in_use", 0) / 2**30
+    lim = mem.get("bytes_limit", 0) / 2**30
     print(
         f"train step (bs{b}, 2-view 256x256, 4 targets): {dt*1e3:.0f} ms "
-        f"-> {1/dt:.2f} steps/s, {b/dt:.2f} samples/s"
+        f"-> {1/dt:.2f} steps/s, {b/dt:.2f} samples/s, "
+        f"peak mem {peak:.2f}/{lim:.2f} GiB"
     )
 
 

@@ -277,17 +277,35 @@ def test_grouped_chain_matches_flat(monkeypatch):
         np.asarray(img_g), np.asarray(img_flat), atol=1e-6
     )
 
-    # forward-only: differentiating through the grouped path must fail with
-    # a clear error, not silently wrong gradients
-    with pytest.raises(NotImplementedError, match="forward-only"):
-        jax.grad(
-            lambda o: jnp.sum(
-                pallas_raster.render_pallas(
-                    *args[:4], (h, w), args[4], args[5], args[6], args[7], o
-                )
-                ** 2
-            )
-        )(args[8])
+    # grouped backward: the reverse-order chained VJP must reproduce the
+    # flat path's gradients (same math, re-chunked association order)
+    weights = jnp.asarray(
+        np.random.default_rng(1).normal(size=(1, h, w, 3)).astype(np.float32)
+    )
+
+    def loss(renderer, m, c, s, o):
+        img = renderer(
+            *args[:4], (h, w), args[4], m, c, s, o, big_tile_cap=256
+        )
+        return jnp.sum(img * weights)
+
+    g_grouped = jax.grad(
+        lambda *a: loss(pallas_raster.render_pallas, *a), argnums=(0, 1, 2, 3)
+    )(*args[5:])
+    monkeypatch.setattr(pallas_raster, "_CHAIN_MIN_G", 1 << 21)  # flat again
+    g_flat = jax.grad(
+        lambda *a: loss(pallas_raster.render_pallas, *a), argnums=(0, 1, 2, 3)
+    )(*args[5:])
+    for name, gf, gg in zip(
+        ["means", "cov", "sh", "opac"], g_flat, g_grouped
+    ):
+        gf, gg = np.asarray(gf), np.asarray(gg)
+        assert np.isfinite(gg).all(), name
+        scale = np.abs(gf).max() + 1e-8
+        np.testing.assert_allclose(
+            gg / scale, gf / scale, atol=5e-5,
+            err_msg=f"grouped-vs-flat gradient mismatch: {name}",
+        )
 
 
 @pytest.mark.slow

@@ -178,3 +178,69 @@ def test_encoder_view_sharded_forward_matches_local(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
+
+
+def test_encoder_views_x_depth_composed_sharding(monkeypatch):
+    """The 8-chip pod-slice projection assumes a COMPOSED (views=4, depth=2)
+    sharding (PERF.md pod-slice section). Execute exactly that layout on the
+    8-device CPU mesh: context views sharded over a 4-way "view" axis AND
+    plane-sweep depth hypotheses over a 2-way "depth" axis, full encoder
+    forward vs the unsharded reference."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_models import tiny_vit
+
+    from my_depthsplat_tpu.models import vit as vit_mod
+
+    monkeypatch.setitem(vit_mod.VIT_CONFIGS, "vits", tiny_vit())
+    monkeypatch.setitem(vit_mod.INTERMEDIATE_LAYER_IDX, "vits", [0, 1, 2, 3])
+
+    from my_depthsplat_tpu.models import EncoderDepthSplat
+    from my_depthsplat_tpu.models.encoder import EncoderDepthSplatCfg
+
+    rng = np.random.default_rng(3)
+    b, v, h, w = 1, 4, 32, 32
+    extr = np.broadcast_to(np.eye(4, dtype=np.float32), (b, v, 4, 4)).copy()
+    for i in range(v):
+        extr[:, i, 0, 3] = 0.15 * i
+    context = {
+        "image": jnp.asarray(
+            rng.uniform(0, 1, (b, v, h, w, 3)).astype(np.float32)
+        ),
+        "extrinsics": jnp.asarray(extr),
+        "intrinsics": jnp.broadcast_to(
+            jnp.asarray(
+                [[1.0, 0, 0.5], [0, 1.0, 0.5], [0, 0, 1]], jnp.float32
+            ),
+            (b, v, 3, 3),
+        ),
+        "near": jnp.full((b, v), 0.5, jnp.float32),
+        "far": jnp.full((b, v), 100.0, jnp.float32),
+    }
+    base_cfg = EncoderDepthSplatCfg(
+        num_scales=1, num_depth_candidates=16, costvolume_unet_feat_dim=16,
+        gaussian_regressor_channels=16,
+    )
+    enc = EncoderDepthSplat(base_cfg)
+    params = enc.init(jax.random.key(0), context, training=False)
+    want = enc.apply(params, context, training=False)["gaussians"].means
+
+    from dataclasses import replace
+
+    sharded_cfg = replace(
+        base_cfg, spmd_view_axis="view", spmd_depth_axis="depth"
+    )
+    enc_s = EncoderDepthSplat(sharded_cfg)
+    dev = np.asarray(jax.devices()[:8]).reshape(4, 2)
+    mesh = Mesh(dev, ("view", "depth"))
+    with jax.sharding.set_mesh(mesh):
+        ctx_s = {
+            k: jax.device_put(x, NamedSharding(mesh, P(None, "view")))
+            for k, x in context.items()
+        }
+        got = jax.jit(
+            lambda p, c: enc_s.apply(p, c, training=False)["gaussians"].means
+        )(params, ctx_s)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
