@@ -185,3 +185,55 @@ def test_adapter_end_to_end_shapes_and_means():
     dc = np.asarray(out2.harmonics[..., 0]).reshape(b, v, hw, 3)
     expected = np.asarray(RGB2SH(jnp.asarray(imgs))).reshape(b, v, hw, 3)
     np.testing.assert_allclose(dc, expected, atol=1e-5)
+
+
+def test_scalarized_adapter_matches_reference():
+    """adapt_gaussians (scalarized TPU layout) vs adapt_gaussians_reference
+    (direct broadcast transcription): every output field must agree — the
+    rewrite is a pure layout change."""
+    from my_depthsplat_tpu.gaussians.adapter import adapt_gaussians_reference
+
+    rng = np.random.default_rng(11)
+    b, v, hw = 2, 3, 12
+    cfg = GaussianAdapterCfg(0.5, 15.0, 2)
+    extr = np.broadcast_to(np.eye(4, dtype=np.float32), (b, v, 4, 4)).copy()
+    extr[..., :3, 3] = rng.normal(size=(b, v, 3)) * 0.2
+    # a real rotation so the Wigner blocks are nontrivial
+    th = rng.uniform(0, 2 * np.pi, size=(b, v))
+    extr[..., 0, 0] = np.cos(th)
+    extr[..., 0, 1] = -np.sin(th)
+    extr[..., 1, 0] = np.sin(th)
+    extr[..., 1, 1] = np.cos(th)
+    intr = np.broadcast_to(
+        np.array([[0.9, 0, 0.5], [0, 1.1, 0.45], [0, 0, 1]], np.float32),
+        (b, v, 3, 3),
+    )
+    coords = rng.uniform(0.1, 0.9, size=(b, v, hw, 1, 1, 2)).astype(np.float32)
+    depths = rng.uniform(1, 5, size=(b, v, hw, 1, 1)).astype(np.float32)
+    opac = rng.uniform(0, 1, size=(b, v, hw, 1, 1)).astype(np.float32)
+    raw = rng.normal(size=(b, v, hw, 1, 1, 7 + 27)).astype(np.float32)
+    imgs = rng.uniform(0, 1, size=(b, v, 3, 4, 3)).astype(np.float32)
+
+    args = (
+        cfg,
+        jnp.asarray(extr)[:, :, None, None, None],
+        jnp.asarray(intr)[:, :, None, None, None],
+        jnp.asarray(coords),
+        jnp.asarray(depths),
+        jnp.asarray(opac),
+        jnp.asarray(raw),
+    )
+    a = adapt_gaussians(*args, input_images=jnp.asarray(imgs))
+    r = adapt_gaussians_reference(*args, input_images=jnp.asarray(imgs))
+    for name in ("means", "covariances", "harmonics", "opacities", "scales"):
+        ga, gr = np.asarray(getattr(a, name)), np.asarray(getattr(r, name))
+        assert ga.shape == np.broadcast_shapes(ga.shape, gr.shape), name
+        np.testing.assert_allclose(
+            ga, np.broadcast_to(gr, ga.shape), rtol=2e-5, atol=2e-6,
+            err_msg=name,
+        )
+    np.testing.assert_allclose(
+        np.asarray(a.rotations),
+        np.broadcast_to(np.asarray(r.rotations), a.rotations.shape),
+        rtol=2e-5, atol=2e-6,
+    )
