@@ -99,6 +99,9 @@ class TrainOptionsCfg:
     # Render depth alongside color during training (model_wrapper.py:196-234):
     # "depth" | "disparity" | "relative_disparity" | "log" | None.
     depth_mode: str | None = None
+    # Gradient accumulation microbatches per optimizer step (train/step.py):
+    # reaches the reference's bs8 recipe on a 16 GB chip as bs4 x 2.
+    grad_accum: int = 1
 
 
 @dataclass(frozen=True)

@@ -194,6 +194,7 @@ def train(cfg: RootCfg) -> None:
         loss=cfg.loss,
         optimizer=cfg.optimizer,
         depth_mode=cfg.train.depth_mode,
+        grad_accum=cfg.train.grad_accum,
     )
     init_fn, train_step = make_train_step(
         train_cfg, lpips_apply_fn, render_sharding=render_sharding

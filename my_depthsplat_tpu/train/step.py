@@ -34,6 +34,13 @@ class TrainCfg:
     # train_cfg.depth_mode hook, model_wrapper.py:196-234): "depth" |
     # "disparity" | "relative_disparity" | "log" | None.
     depth_mode: str | None = None
+    # Gradient accumulation: split the batch's leading axis into this many
+    # microbatches, scan the grad computation, average, and apply ONE
+    # optimizer update — numerically a larger batch without its peak
+    # memory. The reference reaches bs8 on 40-80 GB GPUs
+    # (scripts/re10k_depthsplat_train.sh); on a 16 GB v5e chip bs8 exceeds
+    # device memory (the AOT compile fails), so effective-bs8 = bs4 x 2.
+    grad_accum: int = 1
 
 
 class TrainState(struct.PyTreeNode):
@@ -186,9 +193,38 @@ def make_train_step(
         return total, logs
 
     def train_step(state: TrainState, batch):
-        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state, batch
-        )
+        if cfg.grad_accum > 1:
+            a = cfg.grad_accum
+            bsz = jax.tree.leaves(batch)[0].shape[0]
+            if bsz % a != 0:
+                raise ValueError(
+                    f"batch size {bsz} is not divisible by grad_accum {a}"
+                )
+
+            def split(x):
+                return x.reshape(a, x.shape[0] // a, *x.shape[1:])
+
+            micro = jax.tree.map(split, batch)
+
+            def scan_body(acc, mb):
+                (l, lg), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, state, mb
+                )
+                acc = jax.tree.map(jnp.add, acc, g)
+                return acc, (l, lg)
+
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            acc, (losses, logs_seq) = jax.lax.scan(scan_body, zeros, micro)
+            grads = jax.tree.map(lambda g: g / a, acc)
+            loss = losses.mean()
+            # microbatch logs average to the full-batch value for all mean-
+            # style metrics (equal microbatch sizes); counters like
+            # render/num_dropped become per-microbatch means
+            logs = jax.tree.map(lambda x: x.mean(0), logs_seq)
+        else:
+            (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state, batch
+            )
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(

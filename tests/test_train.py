@@ -129,3 +129,44 @@ def test_train_step_data_parallel_8_devices():
         float(logs_sharded["loss/total"]), float(logs_local["loss/total"]),
         rtol=2e-4,
     )
+
+
+def test_grad_accum_matches_full_batch():
+    """grad_accum=2 on a bs2 batch must produce the same update as the
+    single full-batch step (mean-of-microbatch grads == full-batch grad for
+    equal microbatch sizes)."""
+    from dataclasses import replace
+
+    cfg = _tiny_train_cfg()
+    batch = make_batch(b=2)
+    init_fn, step_full = make_train_step(cfg)
+    _, step_accum = make_train_step(replace(cfg, grad_accum=2))
+    state = init_fn(jax.random.key(0), batch)
+
+    s_full, logs_full = jax.jit(step_full)(state, batch)
+    s_acc, logs_acc = jax.jit(step_accum)(state, batch)
+    np.testing.assert_allclose(
+        float(logs_acc["loss/total"]), float(logs_full["loss/total"]),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        float(logs_acc["grad_norm"]), float(logs_full["grad_norm"]),
+        rtol=1e-4,
+    )
+    for pa, pf in zip(
+        jax.tree.leaves(s_acc.params), jax.tree.leaves(s_full.params)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(pa), np.asarray(pf), rtol=2e-4, atol=2e-6
+        )
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    from dataclasses import replace
+
+    cfg = replace(_tiny_train_cfg(), grad_accum=2)
+    init_fn, step = make_train_step(cfg)
+    batch = make_batch(b=1)
+    state = init_fn(jax.random.key(0), batch)
+    with pytest.raises(ValueError, match="not divisible"):
+        jax.jit(step)(state, batch)
