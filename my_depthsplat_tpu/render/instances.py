@@ -471,54 +471,19 @@ def build_tile_instances_batched(
     )
 
 
-def build_tile_instances_grouped(
+def grouped_prep(
     sg: ScreenGaussians,  # SINGLE view: fields without a batch dim
-    image_shape: tuple[int, int],
-    group_slots: int,  # power of two; depth-sorted slots per group
-    max_tiles_per_gaussian: int = 16,
-    chunk: int = 256,
-    instance_budget: int | None = None,
-    big_tile_cap: int | None = None,
-    tier1_tiles: int = 2,
-    with_aux: bool = False,
+    group_slots: int,
+    max_tiles_per_gaussian: int,
 ):
-    """Depth-grouped layouts for the huge-G render path.
-
-    At multi-million gaussian counts the single flat layout leaves the
-    measured fast regimes twice over: the (tile, slot) key no longer packs
-    into int32 (forcing the ~4-5x multi-operand sort), and the pack-gather
-    table leaves cache (measured 13.2 ns/index at 5.9M gaussians vs
-    0.85 ns/index from a cache-resident group table — scripts/
-    profile_gather59-class microbench, PERF.md round-4). This builder splits
-    the GLOBALLY depth-sorted slots into contiguous groups of
-    ``group_slots``: every group's keys pack into int32, its pack table is
-    cache-resident, and because groups partition depth order, compositing
-    group 0 then group 1 ... with chained kernel state matches the flat
-    composite to float-associativity tolerance (group boundaries re-chunk
-    the lane cumprod/scan, so the FP association order differs; measured
-    parity ~1e-6 interpreter / 3e-7 TPU, not bit-exact).
-
-    Returns (groups, num_dropped) where groups is a list of TileInstances
-    with per-group packed arrays and LOCAL starts/counts over the same
-    (grid_y, grid_x) tile grid. with_aux=True additionally returns the
-    layout internals the grouped BACKWARD needs (render/pallas_raster.py
-    _render_grouped_bwd): {"order": global depth permutation (Gp,),
-    "slot_safe": per-group lane->group-slot index arrays, "gp": padded G}.
-    """
-    h, w = image_shape
-    grid_x = (w + TILE_X - 1) // TILE_X
-    grid_y = (h + TILE_Y - 1) // TILE_Y
-    n_tiles = grid_x * grid_y
+    """Global phase of the grouped layout: pad, depth-sort, move all rows to
+    slot space with the ONE out-of-cache gather. Returns
+    (table_s (24, Gp) u16, order (Gp,), gp, n_groups, base num_dropped)."""
     g = sg.depth.shape[0]
     r = max_tiles_per_gaussian
     s = group_slots
     n_groups = -(-g // s)
     gp = n_groups * s
-    slot_bits = max(1, (s - 1).bit_length())
-    if (n_tiles + 1) << slot_bits > jnp.iinfo(jnp.int32).max:
-        raise ValueError(
-            f"group_slots={s} with {n_tiles} tiles does not pack into int32"
-        )
 
     def padg(x, fill=0):
         pad = gp - g
@@ -571,139 +536,215 @@ def build_tile_instances_grouped(
     )  # (9, Gp)
     table = jnp.concatenate([rect_u16, _to_u16(rows)], axis=0)  # (24, Gp)
     # the one unavoidable out-of-cache gather: everything moves to globally
-    # depth-sorted slot space ONCE; groups below are contiguous slices of it
+    # depth-sorted slot space ONCE; groups are contiguous slices of it
     table_s = table[:, order]
+    return table_s, order, gp, n_groups, num_dropped
+
+
+def grouped_group_layout(
+    table_s,  # (24, Gp) u16 in slot space
+    start_col,  # dynamic or static column offset (gi * group_slots)
+    image_shape: tuple[int, int],
+    group_slots: int,
+    max_tiles_per_gaussian: int = 16,
+    chunk: int = 256,
+    budget_g: int | None = None,
+    big_tile_cap: int | None = None,
+    tier1_tiles: int = 2,
+):
+    """Layout for ONE depth group (a contiguous slot slice): expansion,
+    tiered compaction, packed-key sort, pack gather. ``start_col`` may be a
+    traced value — the whole body is shape-static, so the grouped render
+    can run it inside a lax.while_loop with early termination. Returns
+    (TileInstances, dropped_count, slot_safe)."""
+    h, w = image_shape
+    grid_x = (w + TILE_X - 1) // TILE_X
+    grid_y = (h + TILE_Y - 1) // TILE_Y
+    n_tiles = grid_x * grid_y
+    r = max_tiles_per_gaussian
+    s = group_slots
+    slot_bits = max(1, (s - 1).bit_length())
+    if (n_tiles + 1) << slot_bits > jnp.iinfo(jnp.int32).max:
+        raise ValueError(
+            f"group_slots={s} with {n_tiles} tiles does not pack into int32"
+        )
+    slot_mask = (1 << slot_bits) - 1
+    num_dropped = jnp.zeros((), jnp.float32)
 
     from . import pallas_raster as _pr  # lazy: shares the INTERPRET switch
 
-    # Every layout cost below is paid PER CANDIDATE LANE at the measured
-    # ~12.5 ns/index rate, so the huge-G path defaults tier 1 to 2 bbox tiles
-    # (pixel-scale gaussians from half-megapixel-per-view predictions rarely
-    # span more); wider spans compact into the capped upper tiers, and any
-    # cap overflow is counted in num_dropped (surfaced by eval).
     t1 = min(tier1_tiles, r)
-    slot_mask = (1 << slot_bits) - 1
-    budget_g = None if instance_budget is None else -(-instance_budget // n_groups)
+    sub = jax.lax.dynamic_slice_in_dim(table_s, start_col, s, axis=1)
+    rect_g = sub[:6]
+    rect_i = rect_g.astype(jnp.int32)
+    area_s = rect_i[3]
+    valid_s = rect_i[4] > 0
+    # u16 layout: rows 6:15 = lo halves of the 9 data rows, 15:24 = hi
+    cull6 = _from_u16_pair(sub[6:12], sub[15:21])
+    rows_slot_u16 = sub[6:24]  # (18, s) pack table
+
+    key_parts = [
+        expand_keys(
+            rect_g, cull6, None, 0, t1,
+            grid_x, n_tiles, n_tiles, slot_bits, _pr.INTERPRET,
+        )[:, :s].reshape(-1)
+    ]
+    if r > t1:
+        mid = min(9, r)
+        base_cap = (
+            min(s, big_tile_cap) if big_tile_cap is not None
+            else min(s, max(128, s // 8))
+        )
+        tiers = [(t1, mid, base_cap)]
+        if r > mid:
+            tiers.append((mid, r, min(s, max(128, base_cap // 8))))
+        all_slots = jnp.arange(s, dtype=jnp.int32)
+        sub_rows = jnp.concatenate(
+            [sub[:6], sub[6:12], sub[15:21]], axis=0
+        )  # (18, s) u16
+        for lo, hi, cap_k in tiers:
+            is_small = jnp.where(
+                valid_s & (area_s > lo), 0, 1
+            ).astype(jnp.int32)
+            _, big_full = jax.lax.sort(
+                (is_small, all_slots), num_keys=1, is_stable=True
+            )
+            n_big = jnp.sum(1 - is_small)
+            big_slots = big_full[:cap_k]
+            big_live = jnp.arange(cap_k, dtype=jnp.int32) < n_big
+            subt = sub_rows[:, big_slots]
+            valid_row = (
+                subt[4].astype(jnp.int32) * big_live
+            ).astype(jnp.uint16)
+            rect_b_u16 = jnp.concatenate(
+                [subt[:4], valid_row[None], subt[5:6]], axis=0
+            )
+            cull_b = _from_u16_pair(subt[6:12], subt[12:18])
+            over = jnp.where(
+                (1 - is_small) == 1, jnp.minimum(area_s, hi) - lo, 0
+            )
+            cum_big = jnp.cumsum(1 - is_small)
+            num_dropped = num_dropped + jnp.sum(
+                jnp.where(cum_big > cap_k, over, 0)
+            )
+            key_parts.append(
+                expand_keys(
+                    rect_b_u16, cull_b, big_slots, lo, hi,
+                    grid_x, n_tiles, n_tiles, slot_bits, _pr.INTERPRET,
+                )[:, :cap_k].reshape(-1)
+            )
+    key = (
+        jnp.concatenate(key_parts) if len(key_parts) > 1 else key_parts[0]
+    )
+    n_cand = key.shape[0]
+    cap = n_cand if budget_g is None else min(budget_g, n_cand)
+    (sorted_key,) = jax.lax.sort((key,), num_keys=1)
+    bounds = jnp.searchsorted(
+        sorted_key,
+        jnp.arange(n_tiles + 1, dtype=jnp.int32) << slot_bits,
+        side="left",
+    ).astype(jnp.int32)
+    run_starts = bounds[:-1]
+    run_ends = bounds[1:]
+    key_prefix = jnp.pad(
+        sorted_key[:cap], (0, chunk),
+        constant_values=jnp.iinfo(jnp.int32).max,
+    )
+    slot_prefix = key_prefix & slot_mask
+    lane_dead = key_prefix >= (n_tiles << slot_bits)
+
+    counts = run_ends - run_starts
+    avail = jnp.clip(cap - run_starts, 0, None)
+    counts_kept = jnp.minimum(counts, avail)
+    num_dropped = num_dropped + jnp.sum(counts - counts_kept)
+
+    slot_safe = jnp.where(lane_dead, 0, slot_prefix)
+    # plain u16 gather, no VJP here: the grouped render's custom VJP
+    # (_render_grouped_bwd) reduces lane gradients to group-slot space
+    # manually, with a cache-resident per-group scatter accumulator
+    gathered = rows_slot_u16[:, slot_safe]  # (18, L)
+    packed = jnp.concatenate(
+        [
+            _from_u16_pair(
+                gathered[:_N_DATA_ROWS], gathered[_N_DATA_ROWS:]
+            ),
+            jnp.zeros(
+                (PACKED_ROWS - _N_DATA_ROWS, gathered.shape[1]),
+                jnp.float32,
+            ),
+        ]
+    )
+    inst = TileInstances(
+        packed=packed,
+        gaussian_id=jnp.zeros((0,), jnp.int32),  # debug-only field
+        starts=run_starts,
+        counts=counts_kept,
+        grid_hw=(grid_y, grid_x),
+        num_dropped=jnp.zeros((), jnp.int32),
+    )
+    return inst, num_dropped, slot_safe
+
+
+def build_tile_instances_grouped(
+    sg: ScreenGaussians,  # SINGLE view: fields without a batch dim
+    image_shape: tuple[int, int],
+    group_slots: int,  # power of two; depth-sorted slots per group
+    max_tiles_per_gaussian: int = 16,
+    chunk: int = 256,
+    instance_budget: int | None = None,
+    big_tile_cap: int | None = None,
+    tier1_tiles: int = 2,
+    with_aux: bool = False,
+):
+    """Depth-grouped layouts for the huge-G render path.
+
+    At multi-million gaussian counts the single flat layout leaves the
+    measured fast regimes twice over: the (tile, slot) key no longer packs
+    into int32 (forcing the ~4-5x multi-operand sort), and the pack-gather
+    table leaves cache (2^18-slot groups keep it resident: 2.47 vs
+    11.27 ns/index measured, scripts/profile_gather_huge.py). This builder
+    splits the GLOBALLY depth-sorted slots into contiguous groups of
+    ``group_slots``: every group's keys pack into int32, its pack table is
+    cache-resident, and because groups partition depth order, compositing
+    group 0 then group 1 ... with chained kernel state matches the flat
+    composite to float-associativity tolerance (group boundaries re-chunk
+    the lane cumprod/scan, so the FP association order differs; measured
+    parity ~1e-6 interpreter / 3e-7 TPU, not bit-exact).
+
+    This static-unrolled form (a python loop over groups) is used by the
+    grouped BACKWARD's replay; the forward path runs the same per-group
+    body (grouped_group_layout) inside a lax.while_loop with early
+    termination instead (render/pallas_raster.py _render_grouped_impl).
+
+    Returns (groups, num_dropped) where groups is a list of TileInstances
+    with per-group packed arrays and LOCAL starts/counts over the same
+    (grid_y, grid_x) tile grid. with_aux=True additionally returns the
+    layout internals the grouped BACKWARD needs (render/pallas_raster.py
+    _render_grouped_bwd): {"order": global depth permutation (Gp,),
+    "slot_safe": per-group lane->group-slot index arrays, "gp": padded G}.
+    """
+    table_s, order, gp, n_groups, num_dropped = grouped_prep(
+        sg, group_slots, max_tiles_per_gaussian
+    )
+    budget_g = (
+        None if instance_budget is None else -(-instance_budget // n_groups)
+    )
     groups = []
     aux_slots = []
     for gi in range(n_groups):
-        sub = table_s[:, gi * s : (gi + 1) * s]
-        rect_g = sub[:6]
-        rect_i = rect_g.astype(jnp.int32)
-        area_s = rect_i[3]
-        valid_s = rect_i[4] > 0
-        # u16 layout: rows 6:15 = lo halves of the 9 data rows, 15:24 = hi
-        cull6 = _from_u16_pair(sub[6:12], sub[15:21])
-        rows_slot_u16 = sub[6:24]  # (18, s) pack table
-
-        key_parts = [
-            expand_keys(
-                rect_g, cull6, None, 0, t1,
-                grid_x, n_tiles, n_tiles, slot_bits, _pr.INTERPRET,
-            )[:, :s].reshape(-1)
-        ]
-        if r > t1:
-            mid = min(9, r)
-            base_cap = (
-                min(s, big_tile_cap) if big_tile_cap is not None
-                else min(s, max(128, s // 8))
-            )
-            tiers = [(t1, mid, base_cap)]
-            if r > mid:
-                tiers.append((mid, r, min(s, max(128, base_cap // 8))))
-            all_slots = jnp.arange(s, dtype=jnp.int32)
-            sub_rows = jnp.concatenate(
-                [sub[:6], sub[6:12], sub[15:21]], axis=0
-            )  # (18, s) u16
-            for lo, hi, cap_k in tiers:
-                is_small = jnp.where(
-                    valid_s & (area_s > lo), 0, 1
-                ).astype(jnp.int32)
-                _, big_full = jax.lax.sort(
-                    (is_small, all_slots), num_keys=1, is_stable=True
-                )
-                n_big = jnp.sum(1 - is_small)
-                big_slots = big_full[:cap_k]
-                big_live = jnp.arange(cap_k, dtype=jnp.int32) < n_big
-                subt = sub_rows[:, big_slots]
-                valid_row = (
-                    subt[4].astype(jnp.int32) * big_live
-                ).astype(jnp.uint16)
-                rect_b_u16 = jnp.concatenate(
-                    [subt[:4], valid_row[None], subt[5:6]], axis=0
-                )
-                cull_b = _from_u16_pair(subt[6:12], subt[12:18])
-                over = jnp.where(
-                    (1 - is_small) == 1, jnp.minimum(area_s, hi) - lo, 0
-                )
-                cum_big = jnp.cumsum(1 - is_small)
-                num_dropped = num_dropped + jnp.sum(
-                    jnp.where(cum_big > cap_k, over, 0)
-                )
-                key_parts.append(
-                    expand_keys(
-                        rect_b_u16, cull_b, big_slots, lo, hi,
-                        grid_x, n_tiles, n_tiles, slot_bits, _pr.INTERPRET,
-                    )[:, :cap_k].reshape(-1)
-                )
-        key = (
-            jnp.concatenate(key_parts) if len(key_parts) > 1 else key_parts[0]
+        inst, dropped_k, slot_safe = grouped_group_layout(
+            table_s, gi * group_slots, image_shape, group_slots,
+            max_tiles_per_gaussian, chunk, budget_g, big_tile_cap,
+            tier1_tiles,
         )
-        n_cand = key.shape[0]
-        cap = n_cand if budget_g is None else min(budget_g, n_cand)
-        (sorted_key,) = jax.lax.sort((key,), num_keys=1)
-        bounds = jnp.searchsorted(
-            sorted_key,
-            jnp.arange(n_tiles + 1, dtype=jnp.int32) << slot_bits,
-            side="left",
-        ).astype(jnp.int32)
-        run_starts = bounds[:-1]
-        run_ends = bounds[1:]
-        key_prefix = jnp.pad(
-            sorted_key[:cap], (0, chunk),
-            constant_values=jnp.iinfo(jnp.int32).max,
-        )
-        slot_prefix = key_prefix & slot_mask
-        lane_dead = key_prefix >= (n_tiles << slot_bits)
-
-        counts = run_ends - run_starts
-        avail = jnp.clip(cap - run_starts, 0, None)
-        counts_kept = jnp.minimum(counts, avail)
-        num_dropped = num_dropped + jnp.sum(counts - counts_kept)
-
-        slot_safe = jnp.where(lane_dead, 0, slot_prefix)
+        num_dropped = num_dropped + dropped_k
+        groups.append(inst)
         aux_slots.append(slot_safe)
-        # plain u16 gather, no VJP here: the grouped render's custom VJP
-        # (_render_grouped_bwd) reduces lane gradients to group-slot space
-        # manually, with a cache-resident per-group scatter accumulator
-        gathered = rows_slot_u16[:, slot_safe]  # (18, L)
-        packed = jnp.concatenate(
-            [
-                _from_u16_pair(
-                    gathered[:_N_DATA_ROWS], gathered[_N_DATA_ROWS:]
-                ),
-                jnp.zeros(
-                    (PACKED_ROWS - _N_DATA_ROWS, gathered.shape[1]),
-                    jnp.float32,
-                ),
-            ]
-        )
-        groups.append(
-            TileInstances(
-                packed=packed,
-                gaussian_id=jnp.zeros((0,), jnp.int32),  # debug-only field
-                starts=run_starts,
-                counts=counts_kept,
-                grid_hw=(grid_y, grid_x),
-                num_dropped=jnp.zeros((), jnp.int32),
-            )
-        )
     if with_aux:
         return groups, num_dropped, {
             "order": order, "slot_safe": aux_slots, "gp": gp,
         }
     return groups, num_dropped
-
 
 def build_tile_instances(
     sg: ScreenGaussians,

@@ -685,7 +685,17 @@ _CHAIN_GROUP_SLOTS = 1 << 18
 
 
 def _render_grouped_impl(static, arrays):
-    """Per-view, per-depth-group chained compositing."""
+    """Per-view, per-depth-group chained compositing.
+
+    The group loop is statically UNROLLED: a lax.while_loop variant (one
+    shape-static group body via grouped_group_layout's dynamic slot-slice
+    offset, with output-invariant early termination on saturated
+    transmittance) was built and measured SLOWER on the headline — 1756 vs
+    1726 ms, no compile-time win — because the random/headline scene never
+    saturates and the 15.7 MB state carry crosses the loop boundary every
+    iteration (PERF.md round-5). The background is composited once after
+    all groups — the same rgb += t_frozen * bg the kernel's add_bg
+    performs."""
     (image_shape, use_sh, max_tiles, budget, big_cap, cdt, group_slots) = static
     extrinsics, intrinsics, fovs, means, cov, sh, opac, background = arrays
     h, w = image_shape
@@ -711,11 +721,14 @@ def _render_grouped_impl(static, arrays):
         state = jnp.zeros((1, gy, gx, _NPIX, _OUTC), jnp.float32)
         state = state.at[..., 3].set(1.0).at[..., 5].set(1.0)
         bg_i = background[i : i + 1]
-        for k, inst in enumerate(groups):
+        for inst in groups:
             state = _composite_fwd_impl(
                 inst.packed, inst.starts, inst.counts, bg_i, (1, gy, gx),
-                cdt, init=state, add_bg=(k == len(groups) - 1),
+                cdt, init=state, add_bg=False,
             )
+        state = state.at[..., 0:3].add(
+            state[..., 3:4] * bg_i[0][None, None, None, None, :]
+        )
         img = state[..., 0:3].reshape(1, gy, gx, TILE_Y, TILE_X, 3)
         img = img.transpose(0, 1, 3, 2, 4, 5).reshape(
             1, gy * TILE_Y, gx * TILE_X, 3
@@ -787,10 +800,13 @@ def _render_grouped_bwd(static, arrays, cot):
         state = state.at[..., 3].set(1.0).at[..., 5].set(1.0)
         bg_i = background[i : i + 1]
         states = []
-        for k, inst in enumerate(groups):
+        for inst in groups:
+            # add_bg never: the forward composites the background outside
+            # the group loop; the backward only consumes t_frozen/ncon/
+            # p_raw from these states, none of which add_bg affects
             state = _composite_fwd_impl(
                 inst.packed, inst.starts, inst.counts, bg_i, (1, gy, gx),
-                cdt, init=state, add_bg=(k == len(groups) - 1),
+                cdt, init=state, add_bg=False,
             )
             states.append(state)
         final = states[-1]
