@@ -711,10 +711,11 @@ def build_tile_instances_grouped(
     the lane cumprod/scan, so the FP association order differs; measured
     parity ~1e-6 interpreter / 3e-7 TPU, not bit-exact).
 
-    This static-unrolled form (a python loop over groups) is used by the
-    grouped BACKWARD's replay; the forward path runs the same per-group
-    body (grouped_group_layout) inside a lax.while_loop with early
-    termination instead (render/pallas_raster.py _render_grouped_impl).
+    Both the forward (render/pallas_raster.py _render_grouped_impl) and
+    the backward's replay use this static-unrolled python loop over groups;
+    a lax.while_loop variant with early termination (possible because
+    grouped_group_layout takes a dynamic slot-slice offset) was measured
+    slower on the headline and rejected (PERF.md round-5).
 
     Returns (groups, num_dropped) where groups is a list of TileInstances
     with per-group packed arrays and LOCAL starts/counts over the same

@@ -697,7 +697,7 @@ def _render_grouped_impl(static, arrays):
     all groups — the same rgb += t_frozen * bg the kernel's add_bg
     performs."""
     (image_shape, use_sh, max_tiles, budget, big_cap, cdt, group_slots) = static
-    extrinsics, intrinsics, fovs, means, cov, sh, opac, background = arrays
+    extrinsics, fovs, means, cov, sh, opac, background = arrays
     h, w = image_shape
     b = extrinsics.shape[0]
     gy, gx = (h + TILE_Y - 1) // TILE_Y, (w + TILE_X - 1) // TILE_X
@@ -766,7 +766,7 @@ def _render_grouped_bwd(static, arrays, cot):
     the flat path.
     """
     (image_shape, use_sh, max_tiles, budget, big_cap, cdt, group_slots) = static
-    extrinsics, intrinsics, fovs, means, cov, sh, opac, background = arrays
+    extrinsics, fovs, means, cov, sh, opac, background = arrays
     g_image = cot[0]  # (B, H, W, 3); cot[1] (num_dropped) has no gradient
     h, w = image_shape
     b = extrinsics.shape[0]
@@ -783,11 +783,20 @@ def _render_grouped_bwd(static, arrays, cot):
     d_extr, d_fovs = [], []
     d_means, d_cov, d_sh, d_opac, d_bg = [], [], [], [], []
     for i in range(b):
-        tanx = jnp.tan(0.5 * fovs[i, 0])
-        tany = jnp.tan(0.5 * fovs[i, 1])
-        sg = project_gaussians(
-            extrinsics[i], means[i], cov[i], sh[i], opac[i],
-            tanx, tany, image_shape, use_sh,
+        # ONE projection trace per view: jax.vjp's primal (via has_aux)
+        # provides both the differentiable outputs and the full
+        # ScreenGaussians the layout replay consumes
+        def proj_diff(e, fv, m, c, s_, o):
+            sgd = project_gaussians(
+                e, m, c, s_, o,
+                jnp.tan(0.5 * fv[0]), jnp.tan(0.5 * fv[1]),
+                image_shape, use_sh,
+            )
+            return (sgd.xy, sgd.conic, sgd.color, sgd.opacity), sgd
+
+        _, vjp_fn, sg = jax.vjp(
+            proj_diff, extrinsics[i], fovs[i], means[i], cov[i], sh[i],
+            opac[i], has_aux=True,
         )
         groups, _nd, aux = build_tile_instances_grouped(
             sg, image_shape, group_slots, max_tiles, CHUNK, budget, big_cap,
@@ -862,18 +871,6 @@ def _render_grouped_bwd(static, arrays, cot):
         )
         d_rows = _from_u16(_to_u16(d_slot_all)[:, inv_order])[:, :g_count]
 
-        def proj_diff(e, fv, m, c, s_, o):
-            sgd = project_gaussians(
-                e, m, c, s_, o,
-                jnp.tan(0.5 * fv[0]), jnp.tan(0.5 * fv[1]),
-                image_shape, use_sh,
-            )
-            return sgd.xy, sgd.conic, sgd.color, sgd.opacity
-
-        _, vjp_fn = jax.vjp(
-            proj_diff, extrinsics[i], fovs[i], means[i], cov[i], sh[i],
-            opac[i],
-        )
         de, dfv, dm, dc, ds_, do = vjp_fn(
             (
                 jnp.stack([d_rows[0], d_rows[1]], axis=-1),
@@ -891,7 +888,6 @@ def _render_grouped_bwd(static, arrays, cot):
 
     d_arrays = (
         jnp.stack(d_extr),
-        jnp.zeros_like(intrinsics),
         jnp.stack(d_fovs),
         jnp.stack(d_means),
         jnp.stack(d_cov),
@@ -960,8 +956,11 @@ def render_pallas(
         )
         image, dropped = _render_grouped(
             static,
+            # intrinsics only matter through fovs (computed above), so
+            # they stay OUTSIDE the custom-VJP boundary: intrinsics
+            # gradients flow through get_fov's chain rule via d_fovs
             (
-                extrinsics, intrinsics, fovs, gaussian_means,
+                extrinsics, fovs, gaussian_means,
                 gaussian_covariances, gaussian_sh_coefficients,
                 gaussian_opacities, background_color,
             ),

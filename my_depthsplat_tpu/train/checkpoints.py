@@ -160,7 +160,7 @@ def resolve_checkpoint_uri(
             # versions (not "vN") are skipped rather than crashing the parse
             n = _version_num(artifact)
             if n is not None and (
-                chosen is None or n > (_version_num(chosen) or -1)
+                chosen is None or n > _version_num(chosen)
             ):
                 chosen = artifact
         elif version == artifact.version:

@@ -12,8 +12,8 @@ formulations cost lanes x slot_range x rows MACs (orders of magnitude out).
 
 Mosaic constraints shape the prototype: dynamic LANE offsets are illegal
 (128-multiple rule), dynamic SUBLANE offsets are legal — so the accumulator
-is (SB, 16) with slots on the sublane axis, per-lane rows are (1, 16)
-vectors, and the slot ids stream through SMEM (scalar reads need scalar
+is (SB, ROWS) with slots on the sublane axis, per-lane rows are (1, ROWS)
+vectors (ROWS padded to the 128-lane tiling), and the slot ids stream through SMEM (scalar reads need scalar
 memory). That layout is also what a production kernel would use.
 
 This measures exactly that floor: per-lane `acc[slot, :] += g[lane, :]` RMW
@@ -25,14 +25,12 @@ Run on the real TPU: python scripts/profile_pallas_scatter.py
 
 from __future__ import annotations
 
-import glob
-import gzip
-import json
 import os
 import sys
-from collections import defaultdict
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from scripts._prof_util import device_total  # noqa: E402
 
 import jax
 import jax.numpy as jnp
@@ -41,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROWS = 128  # padded to the 128-lane tiling (DMA slices must align)
-SB = 2048  # slot-block height: (2048, 16) f32 accumulator (sublane-indexed)
+SB = 2048  # slot-block height: (SB, ROWS) f32 accumulator (sublane-indexed)
 CHUNK = 2048  # lanes per DMA chunk
 
 
@@ -114,17 +112,6 @@ def pallas_scatter(slots, g):
             pltpu.SemaphoreType.DMA(()),
         ],
     )(slots, g)
-
-
-def device_total(trace_dir) -> float:
-    fn = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/vm.trace.json.gz"))[-1]
-    with gzip.open(fn) as f:
-        tr = json.load(f)
-    agg = defaultdict(float)
-    for e in tr["traceEvents"]:
-        if e.get("ph") == "X" and e.get("pid") == 3 and e.get("tid") == 3:
-            agg[e["name"]] += e.get("dur", 0) / 1e3
-    return sum(agg.values())
 
 
 def main() -> None:

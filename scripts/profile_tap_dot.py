@@ -17,29 +17,16 @@ Run on the real TPU: python scripts/profile_tap_dot.py
 
 from __future__ import annotations
 
-import glob
-import gzip
-import json
 import os
 import sys
-from collections import defaultdict
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from scripts._prof_util import device_total  # noqa: E402
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-
-
-def device_total(trace_dir) -> float:
-    fn = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/vm.trace.json.gz"))[-1]
-    with gzip.open(fn) as f:
-        tr = json.load(f)
-    agg = defaultdict(float)
-    for e in tr["traceEvents"]:
-        if e.get("ph") == "X" and e.get("pid") == 3 and e.get("tid") == 3:
-            agg[e["name"]] += e.get("dur", 0) / 1e3
-    return sum(agg.values())
 
 
 def profile(tag, fn, *args):
