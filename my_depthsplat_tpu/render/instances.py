@@ -475,10 +475,16 @@ def grouped_prep(
     sg: ScreenGaussians,  # SINGLE view: fields without a batch dim
     group_slots: int,
     max_tiles_per_gaussian: int,
+    gather: bool = True,
 ):
     """Global phase of the grouped layout: pad, depth-sort, move all rows to
     slot space with the ONE out-of-cache gather. Returns
-    (table_s (24, Gp) u16, order (Gp,), gp, n_groups, base num_dropped)."""
+    (table_s (24, Gp) u16, order (Gp,), gp, n_groups, base num_dropped).
+
+    gather=False skips the slot-space gather and returns the GAUSSIAN-order
+    table instead — the depth-sharded renderer (render/sharded.py) gathers
+    only its own chips' slot slices, sharding the dominant out-of-cache
+    gather's index count across the mesh."""
     g = sg.depth.shape[0]
     r = max_tiles_per_gaussian
     s = group_slots
@@ -535,6 +541,8 @@ def grouped_prep(
         ]
     )  # (9, Gp)
     table = jnp.concatenate([rect_u16, _to_u16(rows)], axis=0)  # (24, Gp)
+    if not gather:
+        return table, order, gp, n_groups, num_dropped
     # the one unavoidable out-of-cache gather: everything moves to globally
     # depth-sorted slot space ONCE; groups are contiguous slices of it
     table_s = table[:, order]

@@ -152,6 +152,39 @@ def measure(a: argparse.Namespace) -> dict:
             # the reference's 0.6 s headline is feed-forward RECONSTRUCTION
             # (images -> gaussians); rendering frames is a separate step
             return out["gaussians"].means, ovf
+        if getattr(a, "spmd_decode", False) and a.spmd_views > 1:
+            # pod-slice decode: depth groups sharded over the same chips
+            # that sharded the encoder's views (render/sharded.py)
+            from my_depthsplat_tpu.render.sharded import (
+                render_pallas_depth_sharded,
+            )
+
+            g = out["gaussians"]
+            tgt = batch["target"]
+            bt = tgt["extrinsics"].shape[0] * tgt["extrinsics"].shape[1]
+            h_t, w_t = tgt["image"].shape[2:4]
+            axis = "view" if getattr(a, "spmd_depth", 1) > 1 else "model"
+            color = render_pallas_depth_sharded(
+                axis,
+                tgt["extrinsics"].reshape(bt, 4, 4),
+                tgt["intrinsics"].reshape(bt, 3, 3),
+                tgt["near"].reshape(bt),
+                tgt["far"].reshape(bt),
+                (h_t, w_t),
+                jnp.zeros((bt, 3), jnp.float32),
+                jnp.broadcast_to(g.means, (bt,) + g.means.shape[1:]),
+                jnp.broadcast_to(
+                    g.covariances, (bt,) + g.covariances.shape[1:]
+                ),
+                jnp.broadcast_to(
+                    g.harmonics, (bt,) + g.harmonics.shape[1:]
+                ),
+                jnp.broadcast_to(
+                    g.opacities, (bt,) + g.opacities.shape[1:]
+                ),
+                instance_budget=int(6 * g.means.shape[1]),
+            )
+            return color, ovf
         dec = decode_splatting(
             DecoderSplattingCfg(),
             out["gaussians"],
@@ -243,6 +276,10 @@ def main() -> None:
                    help="also shard plane-sweep depth hypotheses over this "
                         "many devices (composed views x depth mesh — the "
                         "8-chip projection's layout)")
+    p.add_argument("--spmd-decode", action="store_true",
+                   help="with --spmd-views: shard the huge-G decode's depth "
+                        "groups over the same mesh axis "
+                        "(render/sharded.py; forward-only)")
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--matrix", action="store_true",
                    help="run the full precision x sweep-path matrix")

@@ -244,3 +244,59 @@ def test_encoder_views_x_depth_composed_sharding(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
     )
+
+
+def test_depth_sharded_render_matches_grouped(monkeypatch):
+    """render_pallas_depth_sharded: depth groups sharded over a 4-way mesh
+    axis, partial (rgb, T) images composed in rank order — must match the
+    single-chip grouped render (groups partition depth order; compositing
+    over disjoint depth ranges is an ordered associative fold)."""
+    from my_depthsplat_tpu.render import pallas_raster
+    from my_depthsplat_tpu.render.sharded import render_pallas_depth_sharded
+
+    pallas_raster.INTERPRET = True
+    try:
+        import tests.test_pallas_raster  # noqa: F401
+    except ImportError:
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+    from test_pallas_raster import random_scene
+
+    args, (h, w) = random_scene(600, seed=12)
+    monkeypatch.setattr(pallas_raster, "_CHAIN_MIN_G", 1)
+    monkeypatch.setattr(pallas_raster, "_CHAIN_GROUP_SLOTS", 128)
+    try:
+        want = pallas_raster.render_pallas(
+            *args[:4], (h, w), args[4], *args[5:], big_tile_cap=128
+        )
+        mesh = _mesh(model=4)
+        with jax.sharding.set_mesh(mesh):
+            got = jax.jit(
+                lambda m, c, s, o: render_pallas_depth_sharded(
+                    "model", *args[:4], (h, w), args[4], m, c, s, o,
+                    big_tile_cap=128, group_slots=128,
+                )
+            )(*args[5:])
+        # tolerance: per-chip sticky termination sees only its own range's
+        # transmittance, so deep stacks crossing a chip boundary keep a few
+        # contributions the sequential walk cut at eps=1e-4 — measured here
+        # as 4/4608 pixels off by <= 5.5e-4 (each surviving contribution is
+        # <= eps-transmittance-weighted; a handful can stack)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-3
+        )
+
+        # forward-only: a clear error instead of silently wrong gradients
+        with jax.sharding.set_mesh(mesh):
+            with pytest.raises(NotImplementedError, match="forward-only"):
+                jax.grad(
+                    lambda o: jnp.sum(
+                        render_pallas_depth_sharded(
+                            "model", *args[:4], (h, w), args[4],
+                            args[5], args[6], args[7], o,
+                            big_tile_cap=128, group_slots=128,
+                        )
+                    )
+                )(args[8])
+    finally:
+        pallas_raster.INTERPRET = False
